@@ -1,0 +1,351 @@
+"""Merging t-digest kernel: vectorized NumPy, no Spark dependency.
+
+This is a from-scratch implementation of the *merging digest* form of
+Ted Dunning's t-digest (Dunning & Ertl, "Computing Extremely Accurate
+Quantiles Using t-Digests", arXiv:1902.04023).  The reference library
+(caio/go-tdigest, /root/reference) uses per-sample randomized insertion
+(tdigest.go:163-200); we deliberately use buffered sort + a single
+k-bound merge sweep instead, because it is O(B log B) per flush and
+fully vectorizable — the semantics contract we keep is the reference's
+*query* behavior and *error bounds*, not its construction internals
+(construction is RNG-dependent there anyway, tdigest.go:396-399).
+
+Size bound parity: the reference allows a centroid to absorb weight only
+while ``c <= 4 * n * q * (1-q) / compression`` (tdigest.go:393).  Our
+sweep uses the equivalent scale-function formulation: with
+``k(q) = (delta/4) * ln(q / (1-q))`` a centroid may span at most one
+k-unit, which by the mean value theorem gives exactly the same
+``4 n q (1-q) / delta`` weight bound.  Tails are therefore exact
+singletons (k has singularities at q=0,1), which preserves min/max —
+the same property the reference's TestSingletonInACrowd checks
+(tdigest_test.go:169-193).
+
+Query semantics replicated exactly (see docstrings):
+  - quantile: tdigest.go:93-140  (piecewise-linear over centroid ranks,
+    with before-first / after-last linear extrapolation)
+  - cdf:      tdigest.go:295-333 (half-distance spans, terminal jump)
+  - trimmed_mean: tdigest.go:411-455 (boundary clipping)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = ["TDigest", "DEFAULT_COMPRESSION"]
+
+DEFAULT_COMPRESSION = 100.0
+# Buffered inserts: flush when this many raw samples are pending.
+DEFAULT_BUFFER_SIZE = 32768
+
+
+def _ksweep(
+    means: np.ndarray, counts: np.ndarray, compression: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """One left-to-right k-bound merge sweep over sorted weighted points.
+
+    ``means`` must be sorted ascending; ``counts`` positive int64.
+    Returns (means, counts) of the compressed centroid list, sorted.
+    """
+    m = means.size
+    if m <= 1:
+        return means.copy(), counts.copy()
+
+    wi = np.cumsum(counts)  # exact int64 prefix weights
+    wf = wi.astype(np.float64)
+    n = wf[-1]
+    wx = np.cumsum(means * counts.astype(np.float64))
+
+    # qlimit(q0) = sigmoid(logit(q0) + 4/delta); q0=0 -> 0 (tail singleton)
+    efac = math.exp(4.0 / compression)
+
+    out_means = np.empty(m, dtype=np.float64)
+    out_counts = np.empty(m, dtype=np.int64)
+    k = 0
+    i = 0
+    wprev_i = 0  # int prefix weight before current centroid
+    wxprev = 0.0
+    while i < m:
+        q0 = wprev_i / n
+        qlimit = (q0 * efac) / (1.0 - q0 + q0 * efac)
+        # widest j such that all points i..j-1 keep cumweight <= qlimit*n
+        j = int(np.searchsorted(wf, qlimit * n, side="right"))
+        if j <= i:
+            j = i + 1
+        c = int(wi[j - 1] - wprev_i)
+        x = (wx[j - 1] - wxprev) / float(c)
+        # numeric safety clamp: centroid mean must stay inside the span of
+        # its constituents (parity with boundedWeightedAverage,
+        # tdigest.go:147-153)
+        lo, hi = means[i], means[j - 1]
+        if x < lo:
+            x = lo
+        elif x > hi:
+            x = hi
+        out_means[k] = x
+        out_counts[k] = c
+        k += 1
+        wprev_i = int(wi[j - 1])
+        wxprev = wx[j - 1]
+        i = j
+    return out_means[:k], out_counts[:k]
+
+
+class TDigest:
+    """A mergeable quantile sketch (merging-digest formulation).
+
+    State is a sorted centroid list (two parallel float64/int64 arrays —
+    same struct-of-arrays layout as the reference's ``summary``,
+    summary.go:9-12) plus an unsorted insert buffer that is compressed
+    lazily ("buffered inserts, periodic compress").
+    """
+
+    __slots__ = ("compression", "_means", "_counts", "_buf_v", "_buf_w", "_buf_len",
+                 "buffer_size")
+
+    def __init__(
+        self,
+        compression: float = DEFAULT_COMPRESSION,
+        buffer_size: int = DEFAULT_BUFFER_SIZE,
+    ) -> None:
+        # parity: compression must be >= 1 (options.go:20-28)
+        if not compression >= 1:
+            raise ValueError("compression should be >= 1")
+        self.compression = float(compression)
+        self.buffer_size = int(buffer_size)
+        self._means = np.empty(0, dtype=np.float64)
+        self._counts = np.empty(0, dtype=np.int64)
+        self._buf_v: list[np.ndarray] = []
+        self._buf_w: list[np.ndarray] = []
+        self._buf_len = 0
+
+    # ------------------------------------------------------------------ build
+
+    def add(self, value: float, weight: int = 1) -> None:
+        """Insert one weighted sample (parity: AddWeighted, tdigest.go:163).
+
+        NaN values and non-positive weights are rejected, matching the
+        reference (summary.go:27-32, tdigest.go:164-166).
+        """
+        self.add_batch(np.asarray([value], dtype=np.float64),
+                       np.asarray([weight], dtype=np.int64))
+
+    def add_batch(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        """Insert a vector of samples with optional positive int weights."""
+        values = np.asarray(values, dtype=np.float64)
+        if values.ndim != 1:
+            values = values.ravel()
+        if values.size == 0:
+            return
+        if np.isnan(values).any():
+            raise ValueError("cannot add NaN values to the digest")
+        if weights is None:
+            weights = np.ones(values.size, dtype=np.int64)
+        else:
+            weights = np.asarray(weights, dtype=np.int64)
+            if weights.shape != values.shape:
+                raise ValueError("values and weights must align")
+            if (weights <= 0).any():
+                raise ValueError("weights must be positive")
+        self._buf_v.append(values)
+        self._buf_w.append(weights)
+        self._buf_len += values.size
+        if self._buf_len >= self.buffer_size:
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._buf_len == 0:
+            return
+        v = np.concatenate([self._means] + self._buf_v)
+        w = np.concatenate([self._counts] + self._buf_w)
+        self._buf_v.clear()
+        self._buf_w.clear()
+        self._buf_len = 0
+        order = np.argsort(v, kind="stable")
+        self._means, self._counts = _ksweep(v[order], w[order], self.compression)
+
+    def compress(self) -> None:
+        """Force-compact (parity: Compress, tdigest.go:239-254; advised
+        before serializing, tdigest.go:236-238). Count-preserving."""
+        self._flush()
+        self._means, self._counts = _ksweep(self._means, self._counts, self.compression)
+
+    def merge(self, *others: "TDigest") -> "TDigest":
+        """Fold other digests into self (parity: Merge, tdigest.go:262-272).
+
+        Associative and commutative up to sketch error — the map-reduce
+        property the reference proves in TestMerge (tdigest_test.go:297-383).
+        """
+        for other in others:
+            other._flush()
+            if other._means.size:
+                self._buf_v.append(other._means)
+                self._buf_w.append(other._counts)
+                self._buf_len += other._means.size
+        self._flush()
+        return self
+
+    @classmethod
+    def from_values(
+        cls,
+        values: np.ndarray,
+        weights: np.ndarray | None = None,
+        compression: float = DEFAULT_COMPRESSION,
+    ) -> "TDigest":
+        d = cls(compression=compression, buffer_size=max(DEFAULT_BUFFER_SIZE, len(values)))
+        d.add_batch(np.asarray(values), weights)
+        d._flush()
+        return d
+
+    @classmethod
+    def from_centroids(
+        cls,
+        means: np.ndarray,
+        counts: np.ndarray,
+        compression: float = DEFAULT_COMPRESSION,
+    ) -> "TDigest":
+        """Rehydrate from an already-sorted centroid list (deserialization)."""
+        d = cls(compression=compression)
+        d._means = np.asarray(means, dtype=np.float64)
+        d._counts = np.asarray(counts, dtype=np.int64)
+        return d
+
+    @classmethod
+    def merge_all(cls, digests, compression: float | None = None) -> "TDigest":
+        """Merge an iterable of digests into a fresh one (tree-merge leaf)."""
+        digests = list(digests)
+        if compression is None:
+            compression = digests[0].compression if digests else DEFAULT_COMPRESSION
+        out = cls(compression=compression)
+        out.merge(*digests)
+        return out
+
+    # ------------------------------------------------------------ inspection
+
+    @property
+    def count(self) -> int:
+        """Total weight ingested (parity: Count, tdigest.go:218-220)."""
+        buffered = sum(int(w.sum()) for w in self._buf_w)
+        return int(self._counts.sum()) + buffered
+
+    def __len__(self) -> int:
+        self._flush()
+        return int(self._means.size)
+
+    def centroids(self) -> tuple[np.ndarray, np.ndarray]:
+        """Ordered (means, counts) view (parity: ForEachCentroid)."""
+        self._flush()
+        return self._means, self._counts
+
+    def clone(self) -> "TDigest":
+        self._flush()
+        return TDigest.from_centroids(
+            self._means.copy(), self._counts.copy(), self.compression
+        )
+
+    # ---------------------------------------------------------------- queries
+
+    def quantile(self, q):
+        """Quantile estimate; exact parity with tdigest.go:93-140.
+
+        The estimator is piecewise-linear interpolation through the points
+        (rank_i, mean_i) with rank_i = headsum_i + (count_i - 1)/2, plus
+        linear extrapolation of the first/last segment down to rank 0 and
+        up to rank count-1.  q outside [0,1] raises; empty digest -> NaN;
+        single centroid -> its mean.
+        """
+        q_arr = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if ((q_arr < 0) | (q_arr > 1)).any():
+            raise ValueError("q must be between 0 and 1 (inclusive)")
+        self._flush()
+        m = self._means.size
+        scalar = np.isscalar(q) or getattr(q, "ndim", 1) == 0
+        if m == 0:
+            out = np.full(q_arr.shape, np.nan)
+            return float(out[0]) if scalar else out
+        if m == 1:
+            out = np.full(q_arr.shape, self._means[0])
+            return float(out[0]) if scalar else out
+
+        n = float(self._counts.sum())
+        c = self._counts.astype(np.float64)
+        head = np.concatenate(([0.0], np.cumsum(c)[:-1]))
+        pos = head + (c - 1.0) / 2.0
+        index = q_arr * (n - 1.0)
+
+        xs = pos
+        ys = self._means
+        if pos[0] > 0.0:
+            # extrapolate the first segment back to rank 0
+            y0 = (pos[1] * ys[0] - pos[0] * ys[1]) / (pos[1] - pos[0])
+            xs = np.concatenate(([0.0], xs))
+            ys = np.concatenate(([y0], ys))
+        if pos[-1] < n - 1.0:
+            # extrapolate the last segment forward to rank n-1
+            slope = (self._means[-1] - self._means[-2]) / (pos[-1] - pos[-2])
+            yn = self._means[-1] + (n - 1.0 - pos[-1]) * slope
+            xs = np.concatenate((xs, [n - 1.0]))
+            ys = np.concatenate((ys, [yn]))
+        out = np.interp(index, xs, ys)
+        return float(out[0]) if scalar else out
+
+    def cdf(self, x):
+        """Fraction of mass <= x; exact parity with tdigest.go:295-333.
+
+        Centroid i's mass is spread linearly over the span between the
+        midpoints to its neighbors; spans tile contiguously, the mass of
+        the last centroid is a jump to 1 at its left midpoint (that is
+        the reference's loop structure — it never interpolates inside the
+        final centroid).
+        """
+        x_arr = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        scalar = np.isscalar(x) or getattr(x, "ndim", 1) == 0
+        self._flush()
+        m = self._means.size
+        if m == 0:
+            out = np.full(x_arr.shape, np.nan)
+            return float(out[0]) if scalar else out
+        if m == 1:
+            out = np.where(x_arr < self._means[0], 0.0, 1.0)
+            return float(out[0]) if scalar else out
+
+        n = float(self._counts.sum())
+        mids = (self._means[:-1] + self._means[1:]) / 2.0
+        lo0 = self._means[0] - (self._means[1] - self._means[0]) / 2.0
+        knots = np.concatenate(([lo0], mids))  # length m
+        heads = np.concatenate(([0.0], np.cumsum(self._counts[:-1]))) / n
+        out = np.interp(x_arr, knots, heads)
+        out = np.where(x_arr >= knots[-1], 1.0, out)
+        return float(out[0]) if scalar else out
+
+    def trimmed_mean(self, p1: float, p2: float) -> float:
+        """Mean of mass between quantile fractions p1 and p2; parity with
+        tdigest.go:411-455 (per-centroid boundary clipping)."""
+        if p1 < 0 or p1 > 1:
+            raise ValueError("p1 must be between 0 and 1 (inclusive)")
+        if p2 < 0 or p2 > 1:
+            raise ValueError("p2 must be between 0 and 1 (inclusive)")
+        if p1 >= p2:
+            raise ValueError("p1 must be lower than p2")
+        self._flush()
+        if self._means.size == 0:
+            return 0.0
+        n = float(self._counts.sum())
+        min_count = p1 * n
+        max_count = p2 * n
+        ends = np.cumsum(self._counts.astype(np.float64))
+        begins = ends - self._counts
+        w = np.minimum(ends, max_count) - np.maximum(begins, min_count)
+        w = np.maximum(w, 0.0)
+        tw = w.sum()
+        if tw == 0:
+            return 0.0
+        return float(np.dot(w, self._means) / tw)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        self._flush()
+        return (
+            f"TDigest(compression={self.compression}, count={self.count}, "
+            f"centroids={self._means.size})"
+        )
