@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "values_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("go_tdigest_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # force JVM + python-worker warmup outside the timed section
+    t_warm = time.time()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = time.time() - t_warm
+
+    timings: dict[str, float] = {}
+    total_rows = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        rows = df.collect()
+        timings[name] = round(time.time() - t0, 3)
+        total_rows += len(rows)
+
+    total = round(sum(timings.values()), 3)
+    # sketch-build throughput: values digested per second across the three
+    # digest-building queries (lineitem x2 + events + documents scans)
+    from go_tdigest_spark.sources import table
+
+    n_li = table(spark, SF_DIR, "lineitem").count()
+    n_ev = table(spark, SF_DIR, "events").count()
+    n_doc = table(spark, SF_DIR, "documents").count()
+    sketch_secs = sum(
+        timings[k]
+        for k in (
+            "td_stats_lineitem",
+            "td_stats_events",
+            "td_mean_documents",
+            "td_quantiles_lineitem",
+            "td_cdf_events",
+        )
+    )
+    sketch_values = 2 * n_li + 2 * n_ev + n_doc
+    result = {
+        "metric": "headline query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": int(CPUS),
+        "warmup_sec": round(warm, 3),
+        "result_rows": total_rows,
+        "sketch_values_per_sec": int(sketch_values / sketch_secs) if sketch_secs else 0,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,23 @@
+from .tdigest_fns import (
+    register_sql_functions,
+    td_cdf,
+    td_centroids,
+    td_count,
+    td_from_ref_bytes,
+    td_ncentroids,
+    td_quantile,
+    td_to_ref_bytes,
+    td_trimmed_mean,
+)
+
+__all__ = [
+    "register_sql_functions",
+    "td_cdf",
+    "td_centroids",
+    "td_count",
+    "td_from_ref_bytes",
+    "td_ncentroids",
+    "td_quantile",
+    "td_to_ref_bytes",
+    "td_trimmed_mean",
+]

@@ -1,0 +1,176 @@
+"""Scalar pandas UDFs over digest (binary) columns.
+
+These run on *final* digests — a handful of rows, one per group — so the
+per-row Python here is off the hot path by construction; the heavy lifting
+(sketch builds over raw data) lives in operators/aggregate.py as batched
+NumPy.  Exposes the reference's read API (Quantile/CDF/TrimmedMean,
+tdigest.go:93-140/295-333/411-455) as Spark expressions so
+``SELECT source, td_quantile(digest, 0.99) FROM digests`` works
+distributed, plus codecs to exchange digests with go/Java implementations.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .. import serde
+
+
+def _map_digests(series: pd.Series, fn):
+    return series.map(lambda b: None if b is None else fn(serde.decode(bytes(b))))
+
+
+def td_quantile(digest: Column | str, q) -> Column:
+    """Quantile(s) of a digest column. ``q`` may be a float or a list of
+    floats (returns array<double>)."""
+    if isinstance(q, Iterable) and not isinstance(q, (str, bytes)):
+        qs = [float(x) for x in q]
+
+        @pandas_udf("array<double>")
+        def _f(s: pd.Series) -> pd.Series:
+            arr = np.asarray(qs)
+            return _map_digests(s, lambda d: d.quantile(arr).tolist())
+
+        return _f(digest)
+
+    qf = float(q)
+
+    @pandas_udf("double")
+    def _f(s: pd.Series) -> pd.Series:
+        return _map_digests(s, lambda d: d.quantile(qf))
+
+    return _f(digest)
+
+
+def td_cdf(digest: Column | str, x) -> Column:
+    if isinstance(x, Iterable) and not isinstance(x, (str, bytes)):
+        xs = [float(v) for v in x]
+
+        @pandas_udf("array<double>")
+        def _f(s: pd.Series) -> pd.Series:
+            arr = np.asarray(xs)
+            return _map_digests(s, lambda d: d.cdf(arr).tolist())
+
+        return _f(digest)
+
+    xf = float(x)
+
+    @pandas_udf("double")
+    def _f(s: pd.Series) -> pd.Series:
+        return _map_digests(s, lambda d: d.cdf(xf))
+
+    return _f(digest)
+
+
+def td_trimmed_mean(digest: Column | str, p1: float, p2: float) -> Column:
+    p1f, p2f = float(p1), float(p2)
+
+    @pandas_udf("double")
+    def _f(s: pd.Series) -> pd.Series:
+        return _map_digests(s, lambda d: d.trimmed_mean(p1f, p2f))
+
+    return _f(digest)
+
+
+def td_count(digest: Column | str) -> Column:
+    @pandas_udf("long")
+    def _f(s: pd.Series) -> pd.Series:
+        return _map_digests(s, lambda d: d.count)
+
+    return _f(digest)
+
+
+def td_ncentroids(digest: Column | str) -> Column:
+    @pandas_udf("int")
+    def _f(s: pd.Series) -> pd.Series:
+        return _map_digests(s, lambda d: len(d))
+
+    return _f(digest)
+
+
+def td_centroids(digest: Column | str) -> Column:
+    """Explodable lineage view of a digest (parity: ForEachCentroid,
+    tdigest.go:360-362)."""
+
+    @pandas_udf("array<struct<mean: double, count: long>>")
+    def _f(s: pd.Series) -> pd.Series:
+        def conv(d):
+            means, counts = d.centroids()
+            return [
+                {"mean": float(m), "count": int(c)} for m, c in zip(means, counts)
+            ]
+
+        return _map_digests(s, conv)
+
+    return _f(digest)
+
+
+def td_to_ref_bytes(digest: Column | str) -> Column:
+    """Re-encode to the go/Java-compatible smallEncoding v2 wire format."""
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        return _map_digests(s, serde.to_ref_bytes)
+
+    return _f(digest)
+
+
+def td_from_ref_bytes(buf: Column | str) -> Column:
+    """Ingest digests serialized by go-tdigest / Java t-digest."""
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else serde.encode(serde.from_ref_bytes(bytes(b)))
+        )
+
+    return _f(buf)
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register SQL-callable variants (q/x/p as columns, e.g.
+    ``td_quantile(digest, 0.99)`` inside spark.sql)."""
+
+    @pandas_udf("double")
+    def td_quantile_sql(s: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if b is None else serde.decode(bytes(b)).quantile(float(qv))
+                for b, qv in zip(s, q)
+            ]
+        )
+
+    @pandas_udf("double")
+    def td_cdf_sql(s: pd.Series, x: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if b is None else serde.decode(bytes(b)).cdf(float(xv))
+                for b, xv in zip(s, x)
+            ]
+        )
+
+    @pandas_udf("double")
+    def td_trimmed_mean_sql(s: pd.Series, p1: pd.Series, p2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if b is None
+                else serde.decode(bytes(b)).trimmed_mean(float(a), float(z))
+                for b, a, z in zip(s, p1, p2)
+            ]
+        )
+
+    @pandas_udf("long")
+    def td_count_sql(s: pd.Series) -> pd.Series:
+        return _map_digests(s, lambda d: d.count)
+
+    spark.udf.register("td_quantile", td_quantile_sql)
+    spark.udf.register("td_cdf", td_cdf_sql)
+    spark.udf.register("td_trimmed_mean", td_trimmed_mean_sql)
+    spark.udf.register("td_count", td_count_sql)

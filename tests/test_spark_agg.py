@@ -1,0 +1,215 @@
+"""Spark-tier tests: two-phase t-digest aggregation over real parquet,
+checked against exact oracles computed with NumPy on the same data —
+the reference's test strategy (exact oracle + error bound,
+tdigest_test.go:284-295) lifted to the distributed setting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_tdigest_spark import serde
+from go_tdigest_spark.functions import (
+    register_sql_functions,
+    td_cdf,
+    td_centroids,
+    td_count,
+    td_from_ref_bytes,
+    td_ncentroids,
+    td_quantile,
+    td_to_ref_bytes,
+    td_trimmed_mean,
+)
+from go_tdigest_spark.operators import build_partials, merge_partials, tdigest_agg
+from go_tdigest_spark.sources import table
+
+from conftest import SF_TINY
+from test_core import oracle_quantile
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return table(spark, SF_TINY, "lineitem").cache()
+
+
+@pytest.fixture(scope="module")
+def lineitem_pd(lineitem):
+    return lineitem.select("l_returnflag", "l_extendedprice").toPandas()
+
+
+def test_grouped_tdigest_matches_oracle(spark, lineitem, lineitem_pd):
+    out = tdigest_agg(
+        lineitem, "l_extendedprice", by=["l_returnflag"], fanin=4
+    ).toPandas()
+    assert set(out.columns) == {"l_returnflag", "digest", "n_rows", "total_weight"}
+
+    for _, row in out.iterrows():
+        flag = row["l_returnflag"]
+        vals = np.sort(
+            lineitem_pd.loc[
+                lineitem_pd["l_returnflag"] == flag, "l_extendedprice"
+            ].to_numpy()
+        )
+        d = serde.decode(bytes(row["digest"]))
+        assert d.count == len(vals) == row["n_rows"] == row["total_weight"]
+        # exact tails (singleton preservation)
+        assert d.quantile(0.0) == vals[0]
+        assert d.quantile(1.0) == vals[-1]
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            want = oracle_quantile(q, vals)
+            got = d.quantile(q)
+            # rank-space error bound: |cdf(est) - q| within the merged
+            # bound of the reference suite (tdigest_test.go:359-366)
+            rank = np.searchsorted(vals, got) / len(vals)
+            assert abs(rank - q) < 0.015, (flag, q, got, want)
+
+
+def test_global_tdigest_no_groups(spark, lineitem, lineitem_pd):
+    out = tdigest_agg(lineitem, "l_extendedprice", by=[], fanin=None).toPandas()
+    assert len(out) == 1
+    d = serde.decode(bytes(out["digest"].iloc[0]))
+    vals = np.sort(lineitem_pd["l_extendedprice"].to_numpy())
+    assert d.count == len(vals)
+    assert abs(d.cdf(float(np.median(vals))) - 0.5) < 0.01
+
+
+def test_partials_then_tree_merge_equivalence(spark, lineitem, lineitem_pd):
+    # merging with different fan-ins must agree within sketch error —
+    # the distributed version of merge associativity
+    partials = build_partials(lineitem, "l_extendedprice", ["l_returnflag"])
+    res = {}
+    for fanin in (None, 2, 3):
+        merged = merge_partials(partials, ["l_returnflag"], fanin=fanin).toPandas()
+        for _, row in merged.iterrows():
+            d = serde.decode(bytes(row["digest"]))
+            res.setdefault(row["l_returnflag"], []).append(
+                (d.count, d.quantile(0.5))
+            )
+    for flag, entries in res.items():
+        counts = {c for c, _ in entries}
+        assert len(counts) == 1  # count exact under any merge tree
+        meds = np.array([m for _, m in entries])
+        vals = lineitem_pd.loc[
+            lineitem_pd["l_returnflag"] == flag, "l_extendedprice"
+        ].to_numpy()
+        spread_rank = (
+            np.searchsorted(np.sort(vals), meds.max())
+            - np.searchsorted(np.sort(vals), meds.min())
+        ) / len(vals)
+        assert spread_rank < 0.03
+
+
+def test_query_udfs(spark, lineitem, lineitem_pd):
+    digests = tdigest_agg(lineitem, "l_extendedprice", by=["l_returnflag"])
+    out = digests.select(
+        "l_returnflag",
+        td_quantile("digest", 0.5).alias("p50"),
+        td_quantile("digest", [0.25, 0.75]).alias("iqr"),
+        td_cdf("digest", 30000.0).alias("cdf30k"),
+        td_trimmed_mean("digest", 0.1, 0.9).alias("tmean"),
+        td_count("digest").alias("cnt"),
+        td_ncentroids("digest").alias("ncent"),
+    ).toPandas()
+    for _, row in out.iterrows():
+        vals = np.sort(
+            lineitem_pd.loc[
+                lineitem_pd["l_returnflag"] == row["l_returnflag"],
+                "l_extendedprice",
+            ].to_numpy()
+        )
+        assert row["cnt"] == len(vals)
+        assert 0 < row["ncent"] < 2000
+        rank = np.searchsorted(vals, row["p50"]) / len(vals)
+        assert abs(rank - 0.5) < 0.015
+        assert row["iqr"][0] < row["p50"] < row["iqr"][1]
+        want_cdf = (vals <= 30000.0).mean()
+        assert abs(row["cdf30k"] - want_cdf) < 0.015
+        lo, hi = vals[int(0.1 * len(vals))], vals[int(0.9 * len(vals)) - 1]
+        want_tm = vals[(vals >= lo) & (vals <= hi)].mean()
+        assert abs(row["tmean"] - want_tm) / want_tm < 0.02
+
+
+def test_ref_bytes_udf_roundtrip(spark, lineitem):
+    digests = tdigest_agg(lineitem, "l_extendedprice", by=["l_returnflag"])
+    out = digests.select(
+        "l_returnflag",
+        td_count("digest").alias("n0"),
+        td_count(td_from_ref_bytes(td_to_ref_bytes("digest"))).alias("n1"),
+    ).toPandas()
+    assert (out["n0"] == out["n1"]).all()
+
+
+def test_sql_registration(spark, lineitem):
+    register_sql_functions(spark)
+    tdigest_agg(lineitem, "l_extendedprice", by=["l_returnflag"]).createOrReplaceTempView(
+        "li_digests"
+    )
+    out = spark.sql(
+        """
+        SELECT l_returnflag,
+               td_quantile(digest, 0.99) AS p99,
+               td_cdf(digest, 50000.0) AS c,
+               td_trimmed_mean(digest, 0.25, 0.75) AS tm,
+               td_count(digest) AS n
+        FROM li_digests ORDER BY l_returnflag
+        """
+    ).toPandas()
+    assert len(out) >= 2
+    assert (out["n"] > 0).all()
+    assert (out["p99"] > out["tm"]).all()
+    assert out["c"].between(0, 1).all()
+
+
+def test_explode_arrays_tokens_path(spark):
+    # per-token value distribution: array<int> flattened inside Arrow
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 50 + ["b"] * 50,
+            "tokens": [
+                np.random.default_rng(i).integers(0, 1000, size=20 + (i % 30)).tolist()
+                for i in range(100)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = tdigest_agg(df, "tokens", by=["source"], explode_arrays=True).toPandas()
+    assert len(out) == 2
+    for _, row in out.iterrows():
+        flat = np.concatenate(
+            pdf.loc[pdf["source"] == row["source"], "tokens"].map(np.asarray).to_list()
+        )
+        d = serde.decode(bytes(row["digest"]))
+        assert d.count == len(flat) == row["total_weight"]
+        assert row["n_rows"] == 50
+        assert d.quantile(0.0) == flat.min()
+        assert d.quantile(1.0) == flat.max()
+
+
+def test_weighted_agg(spark):
+    pdf = pd.DataFrame({"v": np.arange(1, 101, dtype=float), "w": np.arange(1, 101)})
+    df = spark.createDataFrame(pdf)
+    out = tdigest_agg(df, "v", weight_col="w").toPandas()
+    d = serde.decode(bytes(out["digest"].iloc[0]))
+    assert d.count == int(pdf["w"].sum()) == out["total_weight"].iloc[0]
+    expanded = np.repeat(pdf["v"].to_numpy(), pdf["w"].to_numpy())
+    want = oracle_quantile(0.5, np.sort(expanded))
+    assert abs(d.quantile(0.5) - want) <= 1.0 + 0.02 * 100
+
+
+def test_centroids_lineage_view(spark, lineitem):
+    digests = tdigest_agg(lineitem, "l_extendedprice", by=["l_returnflag"])
+    exploded = digests.select(
+        "l_returnflag", F.explode(td_centroids("digest")).alias("c")
+    ).select("l_returnflag", "c.mean", "c.count")
+    agg = exploded.groupBy("l_returnflag").agg(
+        F.sum("count").alias("total"), F.count("*").alias("ncent")
+    )
+    joined = (
+        digests.select("l_returnflag", "total_weight")
+        .join(agg, "l_returnflag")
+        .toPandas()
+    )
+    assert (joined["total"] == joined["total_weight"]).all()
