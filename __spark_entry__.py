@@ -31,7 +31,13 @@ from go_tdigest_spark.functions import (
     td_quantile,
     td_trimmed_mean,
 )
-from go_tdigest_spark.operators import tdigest_agg
+from go_tdigest_spark.functions import text as T
+from go_tdigest_spark.operators import (
+    ann,
+    dedup,
+    multimodal,
+    tdigest_agg,
+)
 from go_tdigest_spark.sources import table
 
 SF_TINY = "/root/testdata/sf0.001"
@@ -165,6 +171,131 @@ def _q_sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def _q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    a = (
+        cust.where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 8000))
+        .select("c_nationkey")
+        .distinct()
+    )
+    b = (
+        cust.where(
+            (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 8000)
+        )
+        .select("c_nationkey")
+        .distinct()
+    )
+    u = a.union(b).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    i = a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect"))
+    e = a.subtract(b).agg(F.count(F.lit(1)).alias("n_only_building"))
+    return u.crossJoin(i).crossJoin(e)
+
+
+def _q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    big_orders = table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000
+    )
+    no_big = cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+    return no_big.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers_no_big_order")
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.lang_id("text").alias("lang_guess"),
+        T.fingerprint("text").alias("fingerprint"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def _q_text_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            T.lang_id("text").alias("lang_guess"),
+            T.quality_score("text").alias("q"),
+        )
+        .groupBy("source", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("q"), 4).alias("avg_quality"))
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.dedup_exact_stats(docs, "text", ["source"])
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_jaccard_dedup(docs, "text", "doc_id", n=2, threshold=0.5)
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "text", "doc_id", n=2, n_hashes=16)
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=2, n_hashes=16, bands=4, threshold=0.3
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs, "text", "doc_id")
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return dedup.embedding_similar_pairs(emb, "embedding", "vec_id", threshold=0.35)
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(emb, "embedding", "vec_id", query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ann.lsh_ann_topk(
+        emb, "embedding", "vec_id", query_ids=[0, 1, 2, 3, 4], k=5,
+        n_planes=6, dim=64,
+    )
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # opaque binary payloads (ASCII-sanitized so the oracle can sum
+    # codepoints == bytes)
+    bins = docs.select(
+        "doc_id",
+        F.encode(F.regexp_replace("text", "[^ -~]", ""), "utf-8").alias("payload"),
+    )
+    return multimodal.binary_features(bins, "payload", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "td_stats_lineitem": _q_td_stats_lineitem,
@@ -176,6 +307,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_customer_orders": _q_join_customer_orders,
         "window_top_orders": _q_window_top_orders,
         "sort_limit_orders": _q_sort_limit_orders,
+        "events_minute_rollup": _q_events_minute_rollup,
+        "set_ops_nations": _q_set_ops_nations,
+        "anti_join_customers": _q_anti_join_customers,
+        "text_stats": _q_text_stats,
+        "text_summary": _q_text_summary,
+        "dedup_exact_documents": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_signatures": _q_minhash_signatures,
+        "dedup_minhash_lsh": _q_minhash_lsh_pairs,
+        "dedup_simhash": _q_simhash,
+        "dedup_embedding_cosine": _q_embedding_neardup,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "multimodal_meta": _q_multimodal_meta,
     }
 
 
@@ -235,5 +380,103 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "events_minute_rollup": """
+            SELECT date_trunc('minute', ts) AS minute, event_type,
+                   count(*) AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "set_ops_nations": """
+            WITH a AS (
+                SELECT DISTINCT c_nationkey FROM customer
+                WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000
+            ), b AS (
+                SELECT DISTINCT c_nationkey FROM customer
+                WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 8000
+            )
+            SELECT
+                (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                    AS n_union,
+                (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                    AS n_intersect,
+                (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                    AS n_only_building
+        """,
+        "anti_join_customers": """
+            SELECT c_mktsegment, count(*) AS n_customers_no_big_order
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+            )
+            GROUP BY c_mktsegment
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   {T.token_count_frag_duck('text')} AS n_tokens,
+                   {T.lang_id_frag('text', 'duck')} AS lang_guess,
+                   {T.fingerprint_frag('text', 'duck')} AS fingerprint,
+                   {T.quality_score_frag('text', 'duck')} AS quality
+            FROM documents
+        """,
+        "text_summary": f"""
+            SELECT source,
+                   {T.lang_id_frag('text', 'duck')} AS lang_guess,
+                   count(*) AS n,
+                   round(avg({T.quality_score_frag('text', 'duck')}), 4)
+                       AS avg_quality
+            FROM documents GROUP BY 1, 2
+        """,
+        "dedup_exact_documents": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(DISTINCT text) AS n_distinct,
+                   count(*) - count(DISTINCT text) AS n_dup_docs
+            FROM documents GROUP BY source
+        """,
+        "dedup_ngram_jaccard": dedup.minhash_jaccard_dedup_sql(
+            "documents", "text", "doc_id", n=2, threshold=0.5
+        ),
+        "dedup_minhash_signatures": dedup.minhash_signature_sql(
+            "documents", "text", "doc_id", n=2, n_hashes=16
+        ),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(
+            "documents", "text", "doc_id", n=2, n_hashes=16, bands=4,
+            threshold=0.3,
+        ),
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        """,
+        "ann_cosine_topk": ann.cosine_topk_sql(
+            "embeddings", "embedding", "vec_id", query_ids=[0, 1, 2, 3, 4], k=5
+        ),
+        # dedup_simhash / ann_lsh_topk: crc32-based hashing / LSH recall —
+        # not SQL-replicable; rows-only driver check, properties in tests/
+        "multimodal_meta": """
+            WITH s AS (
+                SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+                FROM documents
+            )
+            SELECT doc_id AS doc,
+                   strlen(t) AS n_bytes,
+                   CASE WHEN length(t) = 0 THEN 0 ELSE
+                       list_reduce(list_prepend(0, list_transform(
+                           generate_series(1, length(t)),
+                           i -> ascii(substr(t, i, 1)))),
+                           (a, b) -> a + b) % 2147483647
+                   END AS checksum,
+                   CASE WHEN length(t) = 0 THEN -1
+                        ELSE ascii(substr(t, 1, 1)) END AS head_byte,
+                   CASE WHEN length(t) = 0 THEN -1
+                        ELSE ascii(substr(t, length(t), 1)) END AS tail_byte
+            FROM s
         """,
     }

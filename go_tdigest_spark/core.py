@@ -41,21 +41,29 @@ DEFAULT_BUFFER_SIZE = 32768
 
 
 def _ksweep(
-    means: np.ndarray, counts: np.ndarray, compression: float
+    means: np.ndarray, counts: np.ndarray | None, compression: float
 ) -> tuple[np.ndarray, np.ndarray]:
     """One left-to-right k-bound merge sweep over sorted weighted points.
 
-    ``means`` must be sorted ascending; ``counts`` positive int64.
+    ``means`` must be sorted ascending; ``counts`` positive int64, or
+    None meaning all-ones (the bulk-insert fast path: prefix weights are
+    then ``arange`` and no ones array is ever materialized).
     Returns (means, counts) of the compressed centroid list, sorted.
     """
     m = means.size
     if m <= 1:
+        if counts is None:
+            return means.copy(), np.ones(m, dtype=np.int64)
         return means.copy(), counts.copy()
 
-    wi = np.cumsum(counts)  # exact int64 prefix weights
+    if counts is None:
+        wi = np.arange(1, m + 1, dtype=np.int64)
+        wx = np.cumsum(means)
+    else:
+        wi = np.cumsum(counts)  # exact int64 prefix weights
+        wx = np.cumsum(means * counts.astype(np.float64))
     wf = wi.astype(np.float64)
     n = wf[-1]
-    wx = np.cumsum(means * counts.astype(np.float64))
 
     # qlimit(q0) = sigmoid(logit(q0) + 4/delta); q0=0 -> 0 (tail singleton)
     efac = math.exp(4.0 / compression)
@@ -132,17 +140,27 @@ class TDigest:
                        np.asarray([weight], dtype=np.int64))
 
     def add_batch(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
-        """Insert a vector of samples with optional positive int weights."""
-        values = np.asarray(values, dtype=np.float64)
+        """Insert a vector of samples with optional positive int weights.
+
+        Unweighted integer input is kept in its native dtype until the
+        flush sorts it (4-byte sorts are ~2x cheaper than 8-byte, and the
+        all-ones weight vector is never materialized).
+        """
+        values = np.asarray(values)
         if values.ndim != 1:
             values = values.ravel()
         if values.size == 0:
             return
-        if np.isnan(values).any():
-            raise ValueError("cannot add NaN values to the digest")
-        if weights is None:
-            weights = np.ones(values.size, dtype=np.int64)
-        else:
+        if values.dtype.kind == "f":
+            if values.dtype != np.float64:
+                values = values.astype(np.float64)
+            if np.isnan(values).any():
+                raise ValueError("cannot add NaN values to the digest")
+        elif values.dtype.kind not in "iu":
+            values = values.astype(np.float64)
+            if np.isnan(values).any():
+                raise ValueError("cannot add NaN values to the digest")
+        if weights is not None:
             weights = np.asarray(weights, dtype=np.int64)
             if weights.shape != values.shape:
                 raise ValueError("values and weights must align")
@@ -157,13 +175,67 @@ class TDigest:
     def _flush(self) -> None:
         if self._buf_len == 0:
             return
-        v = np.concatenate([self._means] + self._buf_v)
-        w = np.concatenate([self._counts] + self._buf_w)
-        self._buf_v.clear()
-        self._buf_w.clear()
+        bufs_v, bufs_w = self._buf_v, self._buf_w
+        self._buf_v, self._buf_w = [], []
         self._buf_len = 0
-        order = np.argsort(v, kind="stable")
-        self._means, self._counts = _ksweep(v[order], w[order], self.compression)
+
+        if all(w is None for w in bufs_w):
+            # fast path: sort the raw samples in native dtype (all-ones
+            # weights stay implicit), sweep them alone, then fold the
+            # resulting small centroid list into the existing one —
+            # exactly a digest merge, so semantics are unchanged
+            v = bufs_v[0] if len(bufs_v) == 1 else np.concatenate(bufs_v)
+            if v.dtype.kind in "iu":
+                vmin = int(v.min())
+                vmax = int(v.max())
+                span = vmax - vmin
+                if span < max(1 << 16, v.size // 4):
+                    # dense integer domain (e.g. token ids): collapse
+                    # duplicates with one bincount pass — no sort at all
+                    cnt = np.bincount(
+                        (v - vmin).astype(np.int64), minlength=span + 1
+                    )
+                    nz = np.nonzero(cnt)[0]
+                    bm = (nz + vmin).astype(np.float64)
+                    bc = cnt[nz].astype(np.int64)
+                    # preserve the sorted-stream tail structure: the very
+                    # first/last samples must enter the sweep as weight-1
+                    # singletons so min/max stay exact (same property the
+                    # reference's TestSingletonInACrowd pins)
+                    if bc[0] > 1:
+                        bm = np.concatenate(([bm[0]], bm))
+                        bc = np.concatenate(([1], bc))
+                        bc[1] -= 1
+                    if bc[-1] > 1:
+                        bm = np.concatenate((bm, [bm[-1]]))
+                        bc = np.concatenate((bc, [1]))
+                        bc[-2] -= 1
+                    new_m, new_c = _ksweep(bm, bc, self.compression)
+                else:
+                    v = np.sort(v, kind="stable")  # radix for ints
+                    new_m, new_c = _ksweep(
+                        v.astype(np.float64), None, self.compression
+                    )
+            else:
+                v = np.sort(v)
+                new_m, new_c = _ksweep(v, None, self.compression)
+            if self._means.size == 0:
+                self._means, self._counts = new_m, new_c
+                return
+            m = np.concatenate((self._means, new_m))
+            c = np.concatenate((self._counts, new_c))
+        else:
+            chunks_v = [self._means] + [
+                b if b.dtype == np.float64 else b.astype(np.float64) for b in bufs_v
+            ]
+            chunks_w = [self._counts] + [
+                np.ones(b.size, dtype=np.int64) if w is None else w
+                for b, w in zip(bufs_v, bufs_w)
+            ]
+            m = np.concatenate(chunks_v)
+            c = np.concatenate(chunks_w)
+        order = np.argsort(m, kind="stable")
+        self._means, self._counts = _ksweep(m[order], c[order], self.compression)
 
     def compress(self) -> None:
         """Force-compact (parity: Compress, tdigest.go:239-254; advised
@@ -226,7 +298,10 @@ class TDigest:
     @property
     def count(self) -> int:
         """Total weight ingested (parity: Count, tdigest.go:218-220)."""
-        buffered = sum(int(w.sum()) for w in self._buf_w)
+        buffered = sum(
+            v.size if w is None else int(w.sum())
+            for v, w in zip(self._buf_v, self._buf_w)
+        )
         return int(self._counts.sum()) + buffered
 
     def __len__(self) -> int:

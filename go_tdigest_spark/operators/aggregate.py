@@ -5,12 +5,17 @@ Why not ``groupBy().agg(pandas_udaf)``: PySpark GROUPED_AGG pandas UDAFs
 get no Catalyst partial-aggregation split — whole groups are shuffled to
 a single python worker, which is exactly the skew trap the north rule
 names.  Instead we build one partial digest per (input partition x group)
-with ``mapInPandas`` (zero shuffle — this is the reference's "one digest
+with ``mapInArrow`` (zero shuffle — this is the reference's "one digest
 per node" deployment, tdigest.go:3-8), then tree-merge partials through a
-salted ``applyInPandas`` stage so a group's fan-in is bounded by the salt
-count no matter how many input partitions (or how skewed the group
-distribution) — digest mergeability (tdigest.go:262-272) makes tree depth
-irrelevant to correctness.
+salted ``applyInPandas`` stage so a group's fan-in is bounded no matter
+how many input partitions (or how skewed the group distribution) —
+digest mergeability (tdigest.go:262-272) makes tree depth irrelevant to
+correctness.
+
+Stage 1 is Arrow-native end to end: group keys are dictionary-encoded by
+Arrow, token arrays are flattened zero-copy (``ListArray.flatten``), and
+group partitioning is one stable radix argsort per batch — no per-row
+Python, no pandas materialization (the ``input_hint`` contract).
 
 Scale notes (100 TB / 1000 executors):
   - stage 1 is embarrassingly parallel and map-side only; its output is
@@ -28,15 +33,11 @@ from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    BinaryType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
 from ..core import TDigest
 from .. import serde
@@ -52,7 +53,6 @@ def _group_fields(df: DataFrame, by: Sequence[str]) -> list[StructField]:
     missing = by_set - {f.name for f in fields}
     if missing:
         raise ValueError(f"group columns not in DataFrame: {sorted(missing)}")
-    # preserve caller's order
     by_index = {name: i for i, name in enumerate(by)}
     return sorted(fields, key=lambda f: by_index[f.name])
 
@@ -68,13 +68,10 @@ def _partial_schema(df: DataFrame, by: Sequence[str]) -> StructType:
     )
 
 
-def _values_of(series: pd.Series, is_array: bool) -> np.ndarray:
-    if is_array:
-        chunks = [np.asarray(a, dtype=np.float64) for a in series if a is not None]
-        if not chunks:
-            return np.empty(0, dtype=np.float64)
-        return np.concatenate(chunks)
-    return series.to_numpy(dtype=np.float64, copy=False)
+def _arrow_schema(schema: StructType) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return pa.schema([pa.field(f.name, to_arrow_type(f.dataType)) for f in schema])
 
 
 def build_partials(
@@ -88,61 +85,137 @@ def build_partials(
     """Stage 1: one digest row per (input partition x group). No shuffle.
 
     ``explode_arrays=True`` treats ``value_col`` as array<numeric> and
-    digests every element — flattening happens inside the Arrow batch
-    (np.concatenate), never via a row-exploding Spark operator, so the
-    per-token path stays vectorized end to end.
+    digests every element — flattening is Arrow ``ListArray.flatten``
+    (zero copy), so the per-token path never leaves columnar form.
     """
     by = list(by)
     cols = by + [value_col] + ([weight_col] if weight_col else [])
     pruned = df.select(*cols).where(F.col(value_col).isNotNull())
     schema = _partial_schema(df, by)
-    is_array = explode_arrays
+    out_schema = _arrow_schema(schema)
+    value_idx = len(by)
+    weight_idx = len(by) + 1 if weight_col else None
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # key (tuple of python group values) -> [TDigest, n_rows, weight]
         accs: dict[tuple, list] = {}
 
-        def acc_for(key: tuple) -> list:
-            acc = accs.get(key)
-            if acc is None:
-                acc = [TDigest(compression=compression), 0, 0]
-                accs[key] = acc
-            return acc
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
 
-        def feed(acc: list, sub: pd.DataFrame) -> None:
-            vals = _values_of(sub[value_col], is_array)
-            if vals.size == 0:
-                return
-            nan_mask = np.isnan(vals)
-            if nan_mask.any():
-                vals = vals[~nan_mask]
-                if vals.size == 0:
-                    return
-            if weight_col:
-                w = sub[weight_col].to_numpy(dtype=np.int64, copy=False)
-                acc[0].add_batch(vals, w)
-                acc[2] += int(w.sum())
+            # ---- row-level group codes (dictionary-encoded, vectorized)
+            if by:
+                combined = np.zeros(n, dtype=np.int64)
+                mult = 1
+                for j in range(len(by) - 1, -1, -1):
+                    enc = pc.dictionary_encode(batch.column(j))
+                    idx = (
+                        enc.indices.fill_null(-1)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    combined += (idx + 1) * mult
+                    mult *= len(enc.dictionary) + 1
+                uniq_codes, row_counts = np.unique(combined, return_counts=True)
+                row_order = np.argsort(combined, kind="stable")
+                first_rows = row_order[
+                    np.searchsorted(combined[row_order], uniq_codes, side="left")
+                ]
+                keys = [
+                    tuple(batch.column(j)[int(r)].as_py() for j in range(len(by)))
+                    for r in first_rows
+                ]
             else:
-                acc[0].add_batch(vals)
-                acc[2] += int(vals.size)
-            acc[1] += int(len(sub))
+                uniq_codes = np.zeros(1, dtype=np.int64)
+                row_counts = np.array([n], dtype=np.int64)
+                combined = None
+                keys = [()]
 
-        for pdf in batches:
-            if not by:
-                feed(acc_for(()), pdf)
-            else:
-                for key, sub in pdf.groupby(by, sort=False, dropna=False):
-                    if not isinstance(key, tuple):
-                        key = (key,)
-                    feed(acc_for(key), sub)
+            # ---- per-group value extraction.  Arrays: pyarrow filter on
+            # the list column + zero-copy flatten per group (token-level
+            # codes are never materialized).  Scalars: one small argsort
+            # over row codes and slice.  Values keep their native dtype —
+            # the kernel sorts int32 2x cheaper than float64.
+            multi = combined is not None and len(uniq_codes) > 1
+
+            def group_values(g: int):
+                if explode_arrays:
+                    col = batch.column(value_idx)
+                    if multi:
+                        mask = pa.array(combined == uniq_codes[g])
+                        col = col.filter(mask)
+                    v = col.flatten().to_numpy(zero_copy_only=False)
+                    if weight_col:
+                        w_rows = batch.column(weight_idx).to_numpy(
+                            zero_copy_only=False
+                        )
+                        lens = (
+                            pc.list_value_length(batch.column(value_idx))
+                            .fill_null(0)
+                            .to_numpy(zero_copy_only=False)
+                        )
+                        if multi:
+                            m = combined == uniq_codes[g]
+                            w = np.repeat(
+                                w_rows[m].astype(np.int64), lens[m]
+                            )
+                        else:
+                            w = np.repeat(w_rows.astype(np.int64), lens)
+                        return v, w
+                    return v, None
+                v = batch.column(value_idx).to_numpy(zero_copy_only=False)
+                w = (
+                    batch.column(weight_idx)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    if weight_col
+                    else None
+                )
+                if multi:
+                    m = combined == uniq_codes[g]
+                    v = v[m]
+                    w = w[m] if w is not None else None
+                return v, w
+
+            for g, (key, n_rows_g) in enumerate(zip(keys, row_counts)):
+                acc = accs.get(key)
+                if acc is None:
+                    acc = [TDigest(compression=compression), 0, 0]
+                    accs[key] = acc
+                v, w = group_values(g)
+                if v.dtype.kind == "f":
+                    nan = np.isnan(v)
+                    if nan.any():
+                        v = v[~nan]
+                        w = w[~nan] if w is not None else None
+                if v.size:
+                    if w is not None:
+                        acc[0].add_batch(v, w)
+                        acc[2] += int(w.sum())
+                    else:
+                        acc[0].add_batch(v)
+                        acc[2] += int(v.size)
+                acc[1] += int(n_rows_g)
 
         if accs:
-            rows = []
-            for key, (digest, n_rows, weight) in accs.items():
+            items = list(accs.items())
+            arrays = []
+            for j, f in enumerate(schema.fields[: len(by)]):
+                arrays.append(
+                    pa.array([k[j] for k, _ in items], type=out_schema.field(j).type)
+                )
+            digests = []
+            for _, (digest, _, _) in items:
                 digest.compress()  # pre-serialize compaction, tdigest.go:236-238
-                rows.append(list(key) + [serde.encode(digest), n_rows, weight])
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                digests.append(serde.encode(digest))
+            arrays.append(pa.array(digests, type=pa.binary()))
+            arrays.append(pa.array([a[1] for _, a in items], type=pa.int64()))
+            arrays.append(pa.array([a[2] for _, a in items], type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    return pruned.mapInPandas(gen, schema)
+    return pruned.mapInArrow(gen, schema)
 
 
 def _merge_partials_fn(by: Sequence[str], columns: list[str]):

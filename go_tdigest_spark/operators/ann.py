@@ -1,0 +1,176 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Two tiers:
+
+  - ``cosine_topk``: exact brute-force top-k for a (small) query set —
+    the query side is broadcast, the corpus side streams, ranking is a
+    per-query window.  This is the verification baseline and is also the
+    correct plan when |queries| is small (the broadcast avoids any
+    shuffle of the corpus).
+  - ``lsh_ann_topk``: random-hyperplane LSH — corpus and queries are
+    signed into 2^n_planes buckets, candidates come from an equijoin on
+    the bucket key (optionally with multi-probe on 1-bit flips), exact
+    cosine re-ranks candidates.  At 100 TB the bucket join replaces the
+    O(corpus x queries) product with O(collisions).
+
+Hyperplanes are generated from a fixed integer formula (not an RNG) so
+the DuckDB oracle can inline identical literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hyperplanes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: integer hash -> [-0.5, 0.5)."""
+    p = np.arange(n_planes)[:, None]
+    d = np.arange(dim)[None, :]
+    vals = (p * 131 + d * 31 + (p * d) % 17) % 97
+    return vals / 97.0 - 0.5
+
+
+def _dot_frag(vec_a: str, vec_b: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_a}, {vec_b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, z) -> acc + z)"
+    )
+
+
+def _norm_frag(vec: str) -> str:
+    return f"sqrt(aggregate({vec}, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * x))"
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors, window-rank the
+    corpus.  Ties broken by corpus id for determinism."""
+    corpus = df.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(_norm_frag(vec_col)).alias("cnrm"),
+    ).where(F.expr(_norm_frag(vec_col)) > 0)
+    queries = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(_norm_frag(vec_col)).alias("qnrm"),
+    )
+    cos = F.expr(_dot_frag("qvec", "cvec")) / (F.col("qnrm") * F.col("cnrm"))
+    scored = (
+        queries.join(F.broadcast(corpus), F.col("query_id") != F.col("nn_id"))
+        .select("query_id", "nn_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "nn_id", "cosine")
+    )
+
+
+def cosine_topk_sql(
+    table: str, vec_col: str, id_col: str, query_ids: list[int], k: int = 5
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH corpus AS (
+            SELECT {id_col} AS nn_id, CAST({vec_col} AS DOUBLE[]) AS cvec
+            FROM {table}
+            WHERE sqrt(list_reduce(list_prepend(0.0,
+                  list_transform({vec_col}, x -> CAST(x AS DOUBLE) * x)),
+                  (a, b) -> a + b)) > 0
+        ), queries AS (
+            SELECT {id_col} AS query_id, CAST({vec_col} AS DOUBLE[]) AS qvec
+            FROM {table}
+            WHERE {id_col} IN ({ids})
+        ), scored AS (
+            SELECT query_id, nn_id,
+                   round(list_cosine_similarity(qvec, cvec), 4) AS cosine
+            FROM queries, corpus WHERE query_id != nn_id
+        )
+        SELECT query_id, rank, nn_id, cosine FROM (
+            SELECT query_id, nn_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def lsh_signature_col(vec_col: str, n_planes: int, dim: int):
+    """Bucket id: sign bits of the vector against deterministic planes."""
+    h = hyperplanes(n_planes, dim)
+    bit_terms = []
+    for p in range(n_planes):
+        coeffs = ", ".join(f"{c!r}D" for c in h[p])
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({coeffs}), "
+            "(x, c) -> CAST(x AS DOUBLE) * c), 0.0D, (a, z) -> a + z)"
+        )
+        bit_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p}L ELSE 0L END)")
+    return F.expr(" + ".join(bit_terms))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Bucketed ANN: equijoin on the LSH bucket, exact cosine re-rank of
+    candidates.  ``multiprobe=1`` also probes every bucket one bit-flip
+    away from the query's (n_planes extra probes/query — the standard
+    recall fix that costs nothing on the corpus side).  Recall < 1 by
+    construction; tests pin it against cosine_topk."""
+    sig = lsh_signature_col(vec_col, n_planes, dim)
+    corpus = df.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(_norm_frag(vec_col)).alias("cnrm"),
+        sig.alias("bucket"),
+    ).where(F.expr(_norm_frag(vec_col)) > 0)
+    if multiprobe:
+        probes = (
+            f"concat(array(qbucket0), transform(sequence(0, {n_planes - 1}), "
+            f"p -> CAST(qbucket0 ^ shiftleft(1L, p) AS LONG)))"
+        )
+    else:
+        probes = "array(qbucket0)"
+    queries = (
+        df.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.expr(_norm_frag(vec_col)).alias("qnrm"),
+            sig.alias("qbucket0"),
+        )
+        .select(
+            "query_id", "qvec", "qnrm", F.explode(F.expr(probes)).alias("qbucket")
+        )
+    )
+    cand = queries.join(
+        corpus,
+        (F.col("qbucket") == F.col("bucket")) & (F.col("query_id") != F.col("nn_id")),
+    ).dropDuplicates(["query_id", "nn_id"])
+    cos = F.expr(_dot_frag("qvec", "cvec")) / (F.col("qnrm") * F.col("cnrm"))
+    scored = cand.select("query_id", "nn_id", F.round(cos, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "nn_id", "cosine")
+    )

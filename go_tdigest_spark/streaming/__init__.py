@@ -1,0 +1,3 @@
+from .stream_agg import read_stream_digests, tdigest_stream_writer
+
+__all__ = ["read_stream_digests", "tdigest_stream_writer"]

@@ -1,0 +1,270 @@
+"""Training-pipeline operator tests: dedup, similarity/ANN, text
+analysis, multimodal plumbing, checkpoint/lineage, streaming."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_tdigest_spark import serde
+from go_tdigest_spark.functions import text as T
+from go_tdigest_spark.operators import (
+    binary_features,
+    cosine_topk,
+    decode_media,
+    dedup_exact_keep_first,
+    dedup_exact_stats,
+    embedding_similar_pairs,
+    frame_sample,
+    lsh_ann_topk,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+    simhash_signatures,
+)
+from go_tdigest_spark.plans import CheckpointedSketchJob
+from go_tdigest_spark.sources import table
+from go_tdigest_spark.streaming import read_stream_digests, tdigest_stream_writer
+
+from conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # small corpus with known duplicate structure
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "web"),
+        (1, "the quick brown fox jumps over the lazy dog", "web"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "web"),  # near dup
+        (3, "pack my box with five dozen liquor jugs", "books"),
+        (4, "pack my box with five dozen liquor jugs today", "books"),  # near dup
+        (5, "completely different content about spark engines", "code"),
+        (6, "", "web"),
+        (7, "the quick brown fox jumps over the lazy dog", "wiki"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_dedup_exact(spark, docs):
+    stats = dedup_exact_stats(docs, "text", ["source"]).toPandas()
+    web = stats.loc[stats["source"] == "web"].iloc[0]
+    assert web["n_docs"] == 4 and web["n_dup_docs"] == 1  # docs 0,1 dup
+
+    kept = dedup_exact_keep_first(docs, "text", "doc_id").toPandas()
+    assert 1 not in set(kept["doc_id"])  # doc 1 deduped against doc 0
+    assert 7 not in set(kept["doc_id"])  # doc 7 deduped against doc 0
+    assert {0, 2, 3, 4, 5, 6} <= set(kept["doc_id"])
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=1, threshold=0.5, max_doc_freq=None
+    ).toPandas()
+    got = {(a, b): j for a, b, j in pairs.itertuples(index=False)}
+    assert got[(0, 1)] == 1.0  # identical
+    assert (0, 2) in got and 0.5 <= got[(0, 2)] < 1.0  # near dup
+    assert (3, 4) in got
+    assert (0, 5) not in got and (3, 5) not in got
+
+
+def test_minhash_lsh(spark, docs):
+    sigs = minhash_signatures(docs, "text", "doc_id", n=2, n_hashes=16).toPandas()
+    s = {r["doc"]: tuple(r["sig"]) for _, r in sigs.iterrows()}
+    assert s[0] == s[1] == s[7]  # identical text -> identical signature
+    agree02 = sum(x == y for x, y in zip(s[0], s[2])) / 16
+    agree05 = sum(x == y for x, y in zip(s[0], s[5])) / 16
+    assert agree02 > agree05  # near dup agrees more than unrelated
+
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=2, n_hashes=16, bands=4, threshold=0.9
+    ).toPandas()
+    got = {(a, b) for a, b, _ in pairs.itertuples(index=False)}
+    assert (0, 1) in got and (0, 7) in got and (1, 7) in got
+    assert (0, 5) not in got
+
+
+def test_simhash(spark, docs):
+    sigs = simhash_signatures(docs, "text", "doc_id").toPandas()
+    s = {r["doc"]: int(r["simhash"]) for _, r in sigs.iterrows()}
+    assert s[0] == s[1]  # identical
+    ham02 = bin(s[0] ^ s[2]).count("1")
+    ham05 = bin(s[0] ^ s[5]).count("1")
+    assert ham02 < ham05  # near dup closer than unrelated
+    assert ham02 <= 16
+
+    cands = simhash_candidate_pairs(
+        simhash_signatures(docs, "text", "doc_id"), max_hamming=16
+    ).toPandas()
+    got = {(a, b) for a, b, _ in cands.itertuples(index=False)}
+    assert (0, 1) in got
+
+
+def test_embedding_similar_and_ann(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near dup
+    pdf = pd.DataFrame(
+        {"vec_id": range(20), "embedding": [list(map(float, v)) for v in base]}
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    pairs = embedding_similar_pairs(df, "embedding", "vec_id", threshold=0.99).toPandas()
+    got = {(a, b) for a, b, _ in pairs.itertuples(index=False)}
+    assert (0, 1) in got and len(got) < 5
+
+    topk = cosine_topk(df, "embedding", "vec_id", query_ids=[0], k=3).toPandas()
+    assert topk.iloc[0]["nn_id"] == 1 and topk.iloc[0]["rank"] == 1
+
+    # LSH ANN recall vs brute force on rank-1 neighbors
+    brute = cosine_topk(df, "embedding", "vec_id", query_ids=list(range(10)), k=1)
+    lsh = lsh_ann_topk(
+        df, "embedding", "vec_id", query_ids=list(range(10)), k=1,
+        n_planes=4, dim=16,
+    )
+    b = {r["query_id"]: r["nn_id"] for r in brute.collect()}
+    l = {r["query_id"]: r["nn_id"] for r in lsh.collect()}
+    hits = sum(1 for q in l if b.get(q) == l[q])
+    assert len(l) >= 5  # most queries find same-bucket candidates
+    assert hits / max(len(l), 1) >= 0.5  # bucketed recall is imperfect but real
+
+
+def test_text_functions_vs_python(spark, docs):
+    out = docs.select(
+        "doc_id",
+        T.token_count("text").alias("ntok"),
+        T.lang_id("text").alias("lang"),
+        T.fingerprint("text").alias("fp"),
+        T.quality_score("text").alias("q"),
+    ).toPandas()
+    rows = {r["doc_id"]: r for _, r in out.iterrows()}
+    assert rows[0]["ntok"] == 9
+    assert rows[6]["ntok"] == 0
+    assert rows[0]["lang"] == "en"
+    assert rows[5]["lang"] == "unk"
+
+    def py_fp(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    for i in (0, 3, 5):
+        assert rows[i]["fp"] == py_fp(
+            "the quick brown fox jumps over the lazy dog" if i == 0 else
+            "pack my box with five dozen liquor jugs" if i == 3 else
+            "completely different content about spark engines"
+        )
+    assert rows[6]["fp"] == 0
+    assert (out["q"].between(0, 1)).all()
+
+
+def test_multimodal_plumbing(spark, docs):
+    bins = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = binary_features(bins, "payload", "doc_id").toPandas()
+    rows = {r["doc"]: r for _, r in feats.iterrows()}
+    t0 = "the quick brown fox jumps over the lazy dog"
+    assert rows[0]["n_bytes"] == len(t0)
+    assert rows[0]["checksum"] == sum(t0.encode()) % 2_147_483_647
+    assert rows[0]["head_byte"] == ord("t") and rows[0]["tail_byte"] == ord("g")
+    assert rows[6]["n_bytes"] == 0 and rows[6]["checksum"] == 0
+    assert rows[6]["head_byte"] == -1
+
+    with pytest.raises(NotImplementedError):
+        decode_media(bins, "payload", "doc_id").collect()
+
+    fake = decode_media(bins, "payload", "doc_id", fake=True).toPandas()
+    r0 = fake.loc[fake["doc"] == 0].iloc[0]
+    assert r0["width"] == len(t0) % 640 + 1 and r0["channels"] == 3
+
+    frames = frame_sample(bins, "payload", "doc_id", stride=4).toPandas()
+    f0 = bytes(frames.loc[frames["doc"] == 0, "frames"].iloc[0])
+    assert f0 == t0.encode()[::4]
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    # multi-file input so epochs are non-trivial
+    src = str(tmp_path / "input")
+    li = table(spark, SF_TINY, "lineitem").select("l_returnflag", "l_extendedprice")
+    li.repartition(8).write.parquet(src)
+
+    job = CheckpointedSketchJob(
+        spark, src, "l_extendedprice", ["l_returnflag"], ckpt, n_epochs=4
+    )
+    # simulate a crash after 2 epochs
+    job.run(max_epochs=2)
+    assert job.completed_epochs() == [0, 1]
+    mtimes = {
+        e: os.path.getmtime(os.path.join(ckpt, "partials", f"epoch={e}", "_SUCCESS"))
+        for e in (0, 1)
+    }
+    # resume finishes the rest without redoing committed epochs
+    final = job.run(resume=True).toPandas()
+    assert job.completed_epochs() == [0, 1, 2, 3]
+    for e, m in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(ckpt, "partials", f"epoch={e}", "_SUCCESS")
+        ) == m
+
+    expect = (
+        li.groupBy("l_returnflag")
+        .agg(F.count("l_extendedprice").alias("n"), F.min("l_extendedprice").alias("mn"),
+             F.max("l_extendedprice").alias("mx"))
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    for _, row in final.iterrows():
+        d = serde.decode(bytes(row["digest"]))
+        e = expect.loc[row["l_returnflag"]]
+        assert d.count == e["n"] == row["total_weight"]
+        assert d.quantile(0.0) == e["mn"] and d.quantile(1.0) == e["mx"]
+
+    met = job.metrics().toPandas()
+    assert met["rows"].sum() == expect["n"].sum()
+    assert set(met["epoch"]) == {0, 1, 2, 3}
+
+
+def test_streaming_digests(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "stream_ckpt")
+    li = table(spark, SF_TINY, "lineitem").select("l_returnflag", "l_extendedprice")
+    li.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("l_returnflag string, l_extendedprice double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        tdigest_stream_writer(
+            stream, "l_extendedprice", ["l_returnflag"], state, ckpt
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = read_stream_digests(spark, state, ["l_returnflag"]).toPandas()
+    expect = (
+        li.groupBy("l_returnflag")
+        .agg(F.count("l_extendedprice").alias("n"))
+        .toPandas()
+        .set_index("l_returnflag")["n"]
+    )
+    assert len(merged) == len(expect)
+    for _, row in merged.iterrows():
+        d = serde.decode(bytes(row["digest"]))
+        assert d.count == expect[row["l_returnflag"]]
+
+    # state table carries batch lineage
+    state_df = spark.read.parquet(state)
+    assert state_df.select("batch_id").distinct().count() >= 2
