@@ -171,6 +171,76 @@ def _q_sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_td_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import tdigest_rollup
+
+    li = table(spark, sf_dir, "lineitem")
+    d = tdigest_rollup(li, "l_extendedprice", ["l_returnflag", "l_linestatus"])
+    return d.select(
+        "l_returnflag",
+        "l_linestatus",
+        td_count("digest").alias("n"),
+        td_quantile("digest", 0.0).alias("min_price"),
+        td_quantile("digest", 1.0).alias("max_price"),
+    )
+
+
+def _q_td_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "qty_w", F.col("l_quantity").cast("long")
+    )
+    d = tdigest_agg(li, "l_extendedprice", by=["l_returnflag"], weight_col="qty_w")
+    return d.select(
+        "l_returnflag",
+        td_count("digest").alias("w_count"),
+        F.round(td_trimmed_mean("digest", 0.0, 1.0), 4).alias("w_mean"),
+    )
+
+
+def _q_td_centroid_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.functions import td_centroids
+
+    li = table(spark, sf_dir, "lineitem")
+    d = tdigest_agg(li, "l_extendedprice", by=["l_returnflag"])
+    exploded = d.select(
+        "l_returnflag",
+        "total_weight",
+        F.explode(td_centroids("digest")).alias("c"),
+    )
+    return exploded.groupBy("l_returnflag", "total_weight").agg(
+        F.count(F.lit(1)).alias("n_centroids"),
+        F.sum("c.count").alias("centroid_weight"),
+        F.min("c.mean").alias("min_mean"),
+        F.max("c.mean").alias("max_mean"),
+    )
+
+
+def _q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800
+        )
+        .cast("int")
+        .alias("new_session"),
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        (F.coalesce(F.sum("new_session"), F.lit(0)) + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_user.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("events"),
+    )
+
+
 def _q_events_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
@@ -307,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_customer_orders": _q_join_customer_orders,
         "window_top_orders": _q_window_top_orders,
         "sort_limit_orders": _q_sort_limit_orders,
+        "td_rollup_lineitem": _q_td_rollup_lineitem,
+        "td_weighted_lineitem": _q_td_weighted_lineitem,
+        "td_centroid_lineage": _q_td_centroid_lineage,
+        "events_sessionization": _q_events_sessionization,
         "events_minute_rollup": _q_events_minute_rollup,
         "set_ops_nations": _q_set_ops_nations,
         "anti_join_customers": _q_anti_join_customers,
@@ -380,6 +454,39 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "td_rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   count(l_extendedprice) AS n,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "td_weighted_lineitem": """
+            SELECT l_returnflag,
+                   CAST(sum(l_quantity) AS BIGINT) AS w_count,
+                   round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                       AS w_mean
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # td_centroid_lineage: centroid layout is construction-dependent —
+        # rows-only; internal consistency asserted in tests
+        "events_sessionization": """
+            WITH gaps AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            )) > 1800 THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), per_user AS (
+                SELECT user_id,
+                       coalesce(sum(new_session), 0) + 1 AS n_sessions,
+                       count(*) AS n_events
+                FROM gaps GROUP BY user_id
+            )
+            SELECT n_sessions, count(*) AS n_users, sum(n_events) AS events
+            FROM per_user GROUP BY n_sessions
         """,
         "events_minute_rollup": """
             SELECT date_trunc('minute', ts) AS minute, event_type,

@@ -1,4 +1,4 @@
-from .aggregate import build_partials, merge_partials, tdigest_agg
+from .aggregate import build_partials, merge_partials, tdigest_agg, tdigest_rollup
 from .ann import cosine_topk, cosine_topk_sql, lsh_ann_topk
 from .dedup import (
     dedup_exact_keep_first,
@@ -21,6 +21,7 @@ __all__ = [
     "build_partials",
     "merge_partials",
     "tdigest_agg",
+    "tdigest_rollup",
     "cosine_topk",
     "cosine_topk_sql",
     "lsh_ann_topk",

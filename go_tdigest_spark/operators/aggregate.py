@@ -304,3 +304,47 @@ def tdigest_agg(
         df, value_col, by, compression, weight_col, explode_arrays
     )
     return merge_partials(partials, by, fanin=fanin)
+
+
+def tdigest_rollup(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    compression: float = 100.0,
+    fanin: int | None = 64,
+) -> DataFrame:
+    """ROLLUP over digests: one row per grouping level of ``by`` (finest,
+    each prefix, and the grand total), with rolled-up keys as NULL.
+
+    This is where sketch mergeability pays off structurally: the input is
+    scanned ONCE to build the finest-level digests, and every coarser
+    level is derived by merging child digests (tdigest.go:262-272) — no
+    rescan, no extra shuffle of raw rows.  An exact aggregate would need
+    Spark's rollup to rescan-or-expand each level.
+    """
+    by = list(by)
+    by_fields = {f.name: f for f in df.schema.fields if f.name in set(by)}
+
+    def with_level_nulls(d: DataFrame, present: list[str]) -> DataFrame:
+        cols = []
+        for c in by:
+            if c in present:
+                cols.append(F.col(c))
+            else:
+                cols.append(
+                    F.lit(None).cast(by_fields[c].dataType).alias(c)
+                )
+        cols += [F.col(DIGEST_COL), F.col(ROWS_COL), F.col(WEIGHT_COL)]
+        return d.select(*cols)
+
+    finest = tdigest_agg(df, value_col, by, compression, fanin=fanin)
+    levels = [with_level_nulls(finest, by)]
+    cur = finest
+    for i in range(len(by) - 1, -1, -1):
+        keys = by[:i]
+        cur = merge_partials(cur, keys, fanin=None)
+        levels.append(with_level_nulls(cur, keys))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
