@@ -100,6 +100,57 @@ def _ksweep(
     return out_means[:k], out_counts[:k]
 
 
+def _ksweep_dense(
+    means: np.ndarray, counts: np.ndarray, compression: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-bound sweep over a dense histogram (unique sorted values with
+    duplicate counts), allowed to SPLIT bins at rank boundaries.
+
+    Splitting a bin is exact — all its mass sits at one value — so this
+    reproduces, rank for rank, what the singleton-stream sweep would do
+    on the expanded data (the plain weighted sweep cannot split input
+    points and would under-resolve heavy duplicate runs, bypassing the
+    k-bound the way a giant AddWeighted would).
+    """
+    m = means.size
+    if m == 0:
+        return means.copy(), counts.copy()
+    wi = np.cumsum(counts)
+    wx = np.cumsum(means * counts.astype(np.float64))
+    n = int(wi[-1])
+    nf = float(n)
+    if n == 1:
+        return means.astype(np.float64, copy=True), counts.copy()
+    efac = math.exp(4.0 / compression)
+    out_m: list[float] = []
+    out_c: list[int] = []
+    wprev = 0
+    while wprev < n:
+        q0 = wprev / nf
+        qlimit = (q0 * efac) / (1.0 - q0 + q0 * efac)
+        wend = int(qlimit * nf)
+        if wend <= wprev:
+            wend = wprev + 1
+        elif wend > n:
+            wend = n
+        i0 = int(np.searchsorted(wi, wprev, side="right"))
+        i1 = int(np.searchsorted(wi, wend, side="left"))
+        total_x = wx[i1] - (wx[i0 - 1] if i0 > 0 else 0.0)
+        head_extra = (wprev - (int(wi[i0 - 1]) if i0 > 0 else 0)) * means[i0]
+        tail_extra = (int(wi[i1]) - wend) * means[i1]
+        c = wend - wprev
+        x = (total_x - head_extra - tail_extra) / c
+        lo, hi = means[i0], means[i1]
+        if x < lo:
+            x = lo
+        elif x > hi:
+            x = hi
+        out_m.append(float(x))
+        out_c.append(c)
+        wprev = wend
+    return np.asarray(out_m, dtype=np.float64), np.asarray(out_c, dtype=np.int64)
+
+
 class TDigest:
     """A mergeable quantile sketch (merging-digest formulation).
 
@@ -191,26 +242,17 @@ class TDigest:
                 span = vmax - vmin
                 if span < max(1 << 16, v.size // 4):
                     # dense integer domain (e.g. token ids): collapse
-                    # duplicates with one bincount pass — no sort at all
+                    # duplicates with one bincount pass — no sort at all.
+                    # The dense sweep splits bins at rank boundaries, so
+                    # the result matches the singleton-stream sweep
+                    # (exact tails included) at a fraction of the cost.
                     cnt = np.bincount(
                         (v - vmin).astype(np.int64), minlength=span + 1
                     )
                     nz = np.nonzero(cnt)[0]
                     bm = (nz + vmin).astype(np.float64)
                     bc = cnt[nz].astype(np.int64)
-                    # preserve the sorted-stream tail structure: the very
-                    # first/last samples must enter the sweep as weight-1
-                    # singletons so min/max stay exact (same property the
-                    # reference's TestSingletonInACrowd pins)
-                    if bc[0] > 1:
-                        bm = np.concatenate(([bm[0]], bm))
-                        bc = np.concatenate(([1], bc))
-                        bc[1] -= 1
-                    if bc[-1] > 1:
-                        bm = np.concatenate((bm, [bm[-1]]))
-                        bc = np.concatenate((bc, [1]))
-                        bc[-2] -= 1
-                    new_m, new_c = _ksweep(bm, bc, self.compression)
+                    new_m, new_c = _ksweep_dense(bm, bc, self.compression)
                 else:
                     v = np.sort(v, kind="stable")  # radix for ints
                     new_m, new_c = _ksweep(
@@ -319,6 +361,15 @@ class TDigest:
             self._means.copy(), self._counts.copy(), self.compression
         )
 
+    def reset(self) -> None:
+        """Clear all state, keep configuration (parity: Reset,
+        tdigest.go:346-349)."""
+        self._means = np.empty(0, dtype=np.float64)
+        self._counts = np.empty(0, dtype=np.int64)
+        self._buf_v.clear()
+        self._buf_w.clear()
+        self._buf_len = 0
+
     # ---------------------------------------------------------------- queries
 
     def quantile(self, q):
@@ -392,6 +443,11 @@ class TDigest:
         heads = np.concatenate(([0.0], np.cumsum(self._counts[:-1]))) / n
         out = np.interp(x_arr, knots, heads)
         out = np.where(x_arr >= knots[-1], 1.0, out)
+        # numerical hardening: subnormal-width spans can overflow the
+        # interpolation slope to +/-inf (the hazard class behind the
+        # reference's issue #17 / TestCDFInsideLastCentroid) — a CDF is a
+        # fraction, clamp it
+        out = np.clip(np.nan_to_num(out, nan=np.nan, posinf=1.0, neginf=0.0), 0.0, 1.0)
         return float(out[0]) if scalar else out
 
     def trimmed_mean(self, p1: float, p2: float) -> float:

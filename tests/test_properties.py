@@ -1,0 +1,148 @@
+"""Property-based kernel tests (hypothesis) — the role played in the
+reference ecosystem by quick.Check-style randomized suites: invariants
+that must hold for *any* input, not just the fixture corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from go_tdigest_spark import serde
+from go_tdigest_spark.core import TDigest
+
+# subnormals excluded: a centroid-gap midpoint between 0 and a subnormal
+# underflows to zero width, making CDF spans degenerate — an FP pathology
+# outside the estimator's contract (the clip hardening in cdf() keeps the
+# output a valid fraction even then)
+finite = st.floats(
+    allow_nan=False,
+    allow_infinity=False,
+    allow_subnormal=False,
+    min_value=-1e12,
+    max_value=1e12,
+)
+value_lists = st.lists(finite, min_size=1, max_size=400)
+# statistical-equivalence properties need enough mass for rank-space
+# comparisons to be meaningful (the reference's own versions use 100k
+# samples); tiny inputs legitimately interpolate differently
+bulk_lists = st.lists(finite, min_size=64, max_size=400)
+compressions = st.sampled_from([1, 5, 20, 100, 500])
+
+
+@settings(max_examples=150, deadline=None)
+@given(values=value_lists, compression=compressions)
+def test_bounds_count_and_monotone(values, compression):
+    arr = np.asarray(values)
+    d = TDigest.from_values(arr, compression=compression)
+    assert d.count == len(values)
+    lo, hi = arr.min(), arr.max()
+    qs = np.linspace(0, 1, 21)
+    est = d.quantile(qs)
+    # estimates stay within observed bounds at the exact tails
+    assert est[0] == lo and est[-1] == hi
+    # monotone in q
+    assert (np.diff(est) >= -1e-9 * max(1.0, abs(hi))).all()
+    # cdf monotone, in [0,1]; 0 far below the first centroid span (the
+    # reference spreads centroid mass half-way to the neighbor, so cdf can
+    # be >0 slightly below min — tdigest.go:306-317), 1 at/above max
+    span = max(hi - lo, 1.0)
+    xs = np.linspace(lo - 2 * span, hi + 1, 23)
+    cd = d.cdf(xs)
+    assert (np.diff(cd) >= -1e-12).all()
+    assert ((cd >= 0) & (cd <= 1)).all()
+    assert cd[0] == 0.0 and cd[-1] == 1.0
+    assert d.cdf(hi) == 1.0
+
+
+@settings(max_examples=75, deadline=None)
+@given(
+    values=bulk_lists,
+    compression=st.sampled_from([20, 100, 500]),
+    parts=st.integers(2, 7),
+)
+def test_merge_equals_whole_within_bound(values, compression, parts):
+    """Merged sub-digests must agree with a whole-data digest.  Agreement
+    is measured in CDF space (value-space quantiles are ill-conditioned
+    around large voids in arbitrary data — inherent to piecewise-linear
+    interpolation, identically so in the reference)."""
+    arr = np.asarray(values)
+    whole = TDigest.from_values(arr, compression=compression)
+    subs = [
+        TDigest.from_values(arr[i::parts], compression=compression)
+        for i in range(parts)
+        if len(arr[i::parts])
+    ]
+    merged = TDigest.merge_all(subs)
+    assert merged.count == whole.count == len(values)
+    assert merged.quantile(0.0) == arr.min()
+    assert merged.quantile(1.0) == arr.max()
+    xs = np.quantile(arr, np.linspace(0, 1, 9))
+    assert (np.abs(merged.cdf(xs) - whole.cdf(xs)) <= 0.11).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(values=value_lists, compression=compressions)
+def test_serde_roundtrips(values, compression):
+    d = TDigest.from_values(np.asarray(values), compression=compression)
+    d2 = serde.decode(serde.encode(d))
+    m1, c1 = d.centroids()
+    m2, c2 = d2.centroids()
+    assert (m1 == m2).all() and (c1 == c2).all()
+    # reference wire format: counts exact, count preserved
+    d3 = serde.from_ref_bytes(serde.to_ref_bytes(d))
+    assert d3.count == d.count
+    _, c3 = d3.centroids()
+    assert (c1 == c3).all()
+
+
+@settings(max_examples=75, deadline=None)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=64, max_size=500
+    ),
+    compression=compressions,
+)
+def test_int_bincount_path_matches_float_path(values, compression):
+    """The dense-int bincount fast path must agree with the generic sorted
+    float path — identical weighted point sets in, same sweep."""
+    ints = np.asarray(values, dtype=np.int32)
+    d_int = TDigest.from_values(ints, compression=compression)
+    d_float = TDigest.from_values(
+        np.sort(ints.astype(np.float64)), compression=compression
+    )
+    assert d_int.count == d_float.count
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        a, b = d_int.quantile(q), d_float.quantile(q)
+        span = float(ints.max() - ints.min())
+        # tolerance shape mirrors the reference's weighted-vs-repeated
+        # test (tdigest_test.go:228-236): one discrete value step plus a
+        # range-scaled term — collapsing duplicates into weighted points
+        # coarsens interpolation exactly like AddWeighted does upstream
+        assert abs(a - b) <= 1.0 + 0.05 * span, (q, a, b)
+
+
+@settings(max_examples=50, deadline=None)
+@given(values=bulk_lists)
+def test_weighted_equals_repeated(values):
+    """AddWeighted(v, k) must be statistically equivalent to k adds
+    (parity: TestWeights, tdigest_test.go:215-237)."""
+    arr = np.asarray(values)
+    weights = (np.arange(len(arr)) % 3 + 1).astype(np.int64)
+    d_w = TDigest()
+    d_w.add_batch(arr, weights)
+    d_r = TDigest()
+    d_r.add_batch(np.repeat(arr, weights))
+    assert d_w.count == d_r.count
+    s = np.sort(np.repeat(arr, weights))
+    span = max(1.0, float(s[-1] - s[0]))
+    for q in (0.25, 0.5, 0.75):
+        assert abs(d_w.quantile(q) - d_r.quantile(q)) <= 0.1 * span
+
+
+def test_reset_keeps_config():
+    d = TDigest(compression=42)
+    d.add_batch(np.arange(100.0))
+    d.reset()
+    assert d.count == 0 and len(d) == 0 and d.compression == 42
+    d.add(5.0)
+    assert d.quantile(0.5) == 5.0
