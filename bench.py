@@ -41,9 +41,18 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # force JVM + python-worker warmup outside the timed section
+    # force JVM + python-worker (pandas/arrow) warmup outside the timed
+    # section — the first UDF query otherwise pays ~3s of worker spawn
     t_warm = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
+    from go_tdigest_spark.operators import tdigest_agg
+
+    tdigest_agg(
+        spark.range(10_000).selectExpr("CAST(id AS DOUBLE) v", "id % 3 g"),
+        "v",
+        by=["g"],
+    ).count()
     warm = time.time() - t_warm
 
     timings: dict[str, float] = {}
