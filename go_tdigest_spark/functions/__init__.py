@@ -1,3 +1,4 @@
+from .udtf_fns import register_udtfs
 from .tdigest_fns import (
     register_sql_functions,
     td_cdf,
@@ -11,6 +12,7 @@ from .tdigest_fns import (
 )
 
 __all__ = [
+    "register_udtfs",
     "register_sql_functions",
     "td_cdf",
     "td_centroids",

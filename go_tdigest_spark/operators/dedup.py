@@ -460,23 +460,53 @@ def minhash_jaccard_dedup(
     exact Jaccard over the full distinct-shingle sets (no df-capping
     needed — per-pair verification touches each candidate's own set
     only)."""
+    import pandas as pd
+
     cand = minhash_lsh_pairs(
         df, text_col, id_col, n, n_hashes, bands, est_floor, seed
     )
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.expr(shingles_frag(text_col, n, "spark")).alias("sh"),
-    ).where(F.size("sh") > 0)
-    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = F.round(
-        inter / (F.size("sh_a") + F.size("sh_b") - inter), 4
+    texts = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
+    ta = texts.select(F.col("doc").alias("doc_a"), F.col("txt").alias("txt_a"))
+    tb = texts.select(F.col("doc").alias("doc_b"), F.col("txt").alias("txt_b"))
+    joined = cand.join(ta, "doc_a").join(tb, "doc_b").select(
+        "doc_a", "doc_b", "txt_a", "txt_b"
     )
+
+    # exact jaccard per candidate pair in Python sets — candidates are few
+    # by construction, and set intersection on two docs' shingles is far
+    # cheaper than materializing shingle arrays for the whole corpus
+    # through interpreted expressions
+    def sh_set(text: str) -> set:
+        words = text.strip().lower().split()
+        if n == 1:
+            return set(words)
+        if len(words) < n:
+            return set()
+        return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            jac = []
+            for a, b in zip(pdf["txt_a"], pdf["txt_b"]):
+                sa = sh_set(a)
+                sb = sh_set(b)
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                jac.append(inter / union if union else 0.0)
+            yield pd.DataFrame(
+                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "raw": jac}
+            )
+
+    id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
+    raw = joined.mapInPandas(
+        verify, f"doc_a {id_dt}, doc_b {id_dt}, raw double"
+    )
+    # round/threshold in Spark so HALF_UP semantics match the SQL oracle
+    # exactly (python's round() is banker's rounding)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        raw.withColumn("jaccard", F.round("raw", 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -65,3 +65,62 @@ def read_stream_digests(
         *by, "digest", "n_rows", "total_weight"
     )
     return merge_partials(partials, by, fanin=fanin)
+
+
+def tdigest_stateful_stream(
+    stream_df: DataFrame,
+    value_col: str,
+    key_col: str,
+    compression: float = 100.0,
+    quantiles: tuple = (0.5, 0.99),
+):
+    """Custom stateful streaming operator: per-key digest state maintained
+    with ``applyInPandasWithState``.  Every trigger folds the new rows
+    into the key's digest (mergeable state — the property that makes the
+    sketch streaming-friendly, reference README.md:3-4) and emits the
+    updated count and quantile estimates.
+
+    Use this shape when per-trigger estimates must be queryable in the
+    output stream itself; use the append-partials/merge-on-read shape
+    (tdigest_stream_writer) when readers can merge at query time.
+    Returns a DataFrame to ``writeStream`` in update mode.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..core import TDigest
+    from .. import serde
+
+    q_cols = ", ".join(f"q{int(q * 100)} double" for q in quantiles)
+    out_schema = f"key string, total long, {q_cols}"
+    state_schema = "digest binary"
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            digest = serde.decode(bytes(state.get[0]))
+        else:
+            digest = TDigest(compression=compression)
+        for pdf in pdf_iter:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, copy=False)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                digest.add_batch(vals)
+        digest.compress()
+        state.update((serde.encode(digest),))
+        row = {"key": key[0], "total": digest.count}
+        for q in quantiles:
+            row[f"q{int(q * 100)}"] = digest.quantile(q)
+        yield pd.DataFrame([row])
+
+    return (
+        stream_df.select(F.col(key_col).cast("string").alias("key"), value_col)
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

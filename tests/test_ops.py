@@ -268,3 +268,82 @@ def test_streaming_digests(spark, tmp_path):
     # state table carries batch lineage
     state_df = spark.read.parquet(state)
     assert state_df.select("batch_id").distinct().count() >= 2
+
+
+def test_stateful_streaming(spark, tmp_path):
+    from go_tdigest_spark.streaming import tdigest_stateful_stream
+
+    src = str(tmp_path / "sf_src")
+    ckpt = str(tmp_path / "sf_ckpt")
+    li = table(spark, SF_TINY, "lineitem").select("l_returnflag", "l_extendedprice")
+    li.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("l_returnflag string, l_extendedprice double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out = tdigest_stateful_stream(
+        stream, "l_extendedprice", "l_returnflag", quantiles=(0.5, 0.99)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sf_digests")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql(
+        "SELECT key, max(total) AS total FROM sf_digests GROUP BY key"
+    ).toPandas()
+    expect = (
+        li.groupBy("l_returnflag").count().toPandas().set_index("l_returnflag")["count"]
+    )
+    assert len(res) == len(expect)
+    for _, row in res.iterrows():
+        assert row["total"] == expect[row["key"]]
+    # per-key quantile estimates in the final updates are sane
+    last = spark.sql(
+        "SELECT * FROM sf_digests WHERE total IN (SELECT max(total) FROM sf_digests GROUP BY key)"
+    ).toPandas()
+    assert (last["q50"] < last["q99"]).all()
+
+
+def test_udtfs(spark):
+    from go_tdigest_spark.functions import register_udtfs
+    from go_tdigest_spark.operators import tdigest_agg
+
+    register_udtfs(spark)
+    li = table(spark, SF_TINY, "lineitem")
+    tdigest_agg(li, "l_extendedprice", by=["l_returnflag"]).createOrReplaceTempView(
+        "udtf_digests"
+    )
+    rows = spark.sql(
+        """
+        SELECT d.l_returnflag, t.idx, t.mean, t.count, t.cum_count
+        FROM udtf_digests d, LATERAL td_centroids_t(d.digest) t
+        """
+    ).toPandas()
+    totals = rows.groupby("l_returnflag")["count"].sum()
+    weights = {
+        r["l_returnflag"]: r["total_weight"]
+        for r in spark.table("udtf_digests").collect()
+    }
+    for flag, total in totals.items():
+        assert total == weights[flag]
+    # cum_count is a proper running sum
+    g = rows[rows["l_returnflag"] == rows["l_returnflag"].iloc[0]].sort_values("idx")
+    assert (g["cum_count"].to_numpy() == g["count"].cumsum().to_numpy()).all()
+
+    prof = spark.sql(
+        """
+        SELECT d.l_returnflag, t.q, t.value
+        FROM udtf_digests d, LATERAL td_quantile_table(d.digest, 0.0D, 1.0D, 11) t
+        """
+    ).toPandas()
+    assert len(prof) == 11 * len(weights)
+    for _, grp in prof.groupby("l_returnflag"):
+        vals = grp.sort_values("q")["value"].to_numpy()
+        assert (np.diff(vals) >= 0).all()
