@@ -215,6 +215,20 @@ def _q_td_centroid_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_td_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array-valued measure: digest every vector component, grouped by
+    # label — the per-token distribution path (explode_arrays) under the
+    # exact-oracle gate
+    emb = table(spark, sf_dir, "embeddings")
+    d = tdigest_agg(emb, "embedding", by=["label"], explode_arrays=True)
+    return d.select(
+        "label",
+        td_count("digest").alias("n_components"),
+        td_quantile("digest", 0.0).alias("min_c"),
+        td_quantile("digest", 1.0).alias("max_c"),
+    )
+
+
 def _q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -380,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_rollup_lineitem": _q_td_rollup_lineitem,
         "td_weighted_lineitem": _q_td_weighted_lineitem,
         "td_centroid_lineage": _q_td_centroid_lineage,
+        "td_embedding_components": _q_td_embedding_components,
         "events_sessionization": _q_events_sessionization,
         "events_minute_rollup": _q_events_minute_rollup,
         "set_ops_nations": _q_set_ops_nations,
@@ -472,6 +487,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # td_centroid_lineage: centroid layout is construction-dependent —
         # rows-only; internal consistency asserted in tests
+        "td_embedding_components": """
+            SELECT label,
+                   count(*) AS n_components,
+                   CAST(min(c) AS DOUBLE) AS min_c,
+                   CAST(max(c) AS DOUBLE) AS max_c
+            FROM (SELECT label, unnest(embedding) AS c FROM embeddings)
+            GROUP BY label
+        """,
         "events_sessionization": """
             WITH gaps AS (
                 SELECT user_id,

@@ -213,3 +213,69 @@ def test_centroids_lineage_view(spark, lineitem):
         .toPandas()
     )
     assert (joined["total"] == joined["total_weight"]).all()
+
+
+def test_tdigest_vs_duckdb_quantile_cont(spark, lineitem):
+    # FIXTURES.md F3: sketch estimates within the reference thresholds of
+    # DuckDB's exact quantile_cont on the same parquet
+    import duckdb
+
+    from conftest import SF_TINY as _SF
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{_SF}/lineitem.parquet')"
+    )
+    exact = {
+        (r[0], q): r[i + 1]
+        for r in con.execute(
+            """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.01),
+                   quantile_cont(l_extendedprice, 0.5),
+                   quantile_cont(l_extendedprice, 0.99)
+            FROM lineitem GROUP BY l_returnflag
+            """
+        ).fetchall()
+        for i, q in enumerate((0.01, 0.5, 0.99))
+    }
+    counts = dict(
+        con.execute(
+            "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    out = tdigest_agg(lineitem, "l_extendedprice", by=["l_returnflag"]).toPandas()
+    vals = lineitem.select("l_returnflag", "l_extendedprice").toPandas()
+    for _, row in out.iterrows():
+        flag = row["l_returnflag"]
+        d = serde.decode(bytes(row["digest"]))
+        s = np.sort(
+            vals.loc[vals["l_returnflag"] == flag, "l_extendedprice"].to_numpy()
+        )
+        assert d.count == counts[flag]
+        # rank-space thresholds from the reference uniform suite
+        # (tdigest_test.go:85-91), relaxed x2 for the merged setting
+        for q, tol in ((0.01, 0.01), (0.5, 0.04), (0.99, 0.01)):
+            est = d.quantile(q)
+            want = exact[(flag, q)]
+            lo = np.searchsorted(s, min(est, want), side="left") / len(s)
+            hi = np.searchsorted(s, max(est, want), side="right") / len(s)
+            assert hi - lo <= tol + 2.0 / len(s), (flag, q, est, want)
+
+
+def test_empty_and_degenerate_inputs(spark):
+    import pandas as pd
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert tdigest_agg(empty, "v", by=["g"]).count() == 0
+
+    allnull = spark.createDataFrame(
+        [("a", None), ("b", None)], "g string, v double"
+    )
+    assert tdigest_agg(allnull, "v", by=["g"]).count() == 0
+
+    one = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    row = tdigest_agg(one, "v", by=["g"]).collect()[0]
+    d = serde.decode(bytes(row["digest"]))
+    assert d.count == 1 and d.quantile(0.5) == 5.0
