@@ -302,13 +302,8 @@ def _q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        T.lang_id("text").alias("lang_guess"),
-        T.fingerprint("text").alias("fingerprint"),
-        T.quality_score("text").alias("quality"),
-    )
+    # vectorized Arrow path; bit-identical to the expression/SQL forms
+    return T.text_features(docs, "text", "doc_id")
 
 
 def _q_text_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

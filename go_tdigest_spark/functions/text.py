@@ -138,3 +138,102 @@ def fingerprint_frag(col: str, dialect: str) -> str:
 
 def fingerprint(col: str) -> Column:
     return F.expr(fingerprint_frag(col, "spark"))
+
+
+# ------------------------------------------------- vectorized batch form
+
+
+def text_features(df, text_col: str, id_col: str):
+    """All four text features in one vectorized mapInArrow pass.
+
+    Bit-identical to the SQL-expression forms above (same codepoint
+    polynomial, same replace-count stopword formula, same operand order
+    in the quality score — rounding is applied Spark-side so HALF_UP
+    matches the oracle), but ~an order of magnitude faster: nested-lambda
+    higher-order functions are interpreted by Catalyst, not codegen'd,
+    while this path hashes every document of a batch with max_len
+    column-wise numpy passes.
+
+    Returns: doc_id, n_tokens int, lang_guess string, fingerprint long,
+    quality double(4dp).
+    """
+    import re
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
+    pruned = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    non_punct = re.compile(r"[^.,!?;:]")
+    non_alpha = re.compile(r"[^a-zA-Z]")
+    ws = re.compile(r"\s+")
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            m = len(texts)
+            n_tokens = np.empty(m, dtype=np.int32)
+            langs = []
+            quality = np.empty(m, dtype=np.float64)
+
+            # fingerprint: one utf-32 encode for the batch, column-wise
+            # polynomial over codepoints
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=m)
+            cps = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            offs = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            fp = np.zeros(m, dtype=np.int64)
+            max_len = int(lens.max()) if m else 0
+            for j in range(max_len):
+                active = lens > j
+                fp[active] = (
+                    fp[active] * FP_BASE + cps[offs[:-1][active] + j]
+                ) % FP_MOD
+
+            for i, t in enumerate(texts):
+                stripped = t.strip()
+                toks = len(ws.split(stripped)) if stripped else 0
+                n_tokens[i] = toks
+                padded = f" {t} "
+                stops = sum(padded.count(f" {w} ") for w in STOPWORDS)
+                nbytes = len(t.encode("utf-8"))
+                if nbytes > len(t):
+                    langs.append("nonlatin")
+                elif stops >= 2:
+                    langs.append("en")
+                else:
+                    langs.append("unk")
+                n = max(len(t), 1)
+                tk = max(toks, 1)
+                # sub() strips the *complement* class, leaving the count
+                punct = len(non_punct.sub("", t))
+                alpha = len(non_alpha.sub("", t))
+                # operand order mirrors quality_score_frag exactly
+                quality[i] = (
+                    0.4 * min(1.0, toks / 100.0)
+                    + 0.3 * (alpha * 1.0 / n)
+                    + 0.2 * min(1.0, (stops * 5.0) / tk)
+                    + 0.1 * (1.0 - min(1.0, (punct * 10.0) / n))
+                )
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_tokens, type=pa.int32()),
+                    pa.array(langs, type=pa.string()),
+                    pa.array(fp, type=pa.int64()),
+                    pa.array(quality, type=pa.float64()),
+                ],
+                names=["doc_id", "n_tokens", "lang_guess", "fingerprint", "_q_raw"],
+            )
+
+    out = pruned.mapInArrow(
+        gen,
+        f"doc_id {id_dt}, n_tokens int, lang_guess string, "
+        "fingerprint long, _q_raw double",
+    )
+    return out.withColumn("quality", F.round("_q_raw", 4)).drop("_q_raw")

@@ -279,3 +279,33 @@ def test_empty_and_degenerate_inputs(spark):
     row = tdigest_agg(one, "v", by=["g"]).collect()[0]
     d = serde.decode(bytes(row["digest"]))
     assert d.count == 1 and d.quantile(0.5) == 5.0
+
+
+def test_salted_merge_bounds_fanin_under_skew(spark):
+    # axis A: a 99%-skewed group key must not funnel all partials into a
+    # single reducer — with fanin=f and P partitions the plan must insert
+    # an intermediate salted merge level, and results stay exact
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["hot"] * 99_000 + ["cold"] * 1_000,
+            "v": np.arange(100_000, dtype=float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(32)
+    partials = build_partials(df, "v", ["k"])
+    salted = merge_partials(partials, ["k"], fanin=4)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2  # salted + final level
+
+    out = {r["k"]: r for r in salted.collect()}
+    assert out["hot"]["total_weight"] == 99_000
+    assert out["cold"]["total_weight"] == 1_000
+    d = serde.decode(bytes(out["hot"]["digest"]))
+    assert d.quantile(0.0) == 0.0 and d.quantile(1.0) == 98_999.0
+
+    # single-level plan when partials fit the fan-in
+    flat = merge_partials(partials, ["k"], fanin=None)
+    plan1 = flat._jdf.queryExecution().executedPlan().toString()
+    assert plan1.count("FlatMapGroupsInPandas") == 1
