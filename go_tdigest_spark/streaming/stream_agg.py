@@ -67,6 +67,58 @@ def read_stream_digests(
     return merge_partials(partials, by, fanin=fanin)
 
 
+def tdigest_windowed_stream_writer(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    by: Sequence[str],
+    state_path: str,
+    checkpoint_path: str,
+    window_duration: str = "5 minutes",
+    compression: float = 100.0,
+):
+    """Event-time windowed digests: append partials keyed by
+    (event-time window, group) each trigger; merge-on-read.
+
+    Late-data posture: because digests are mergeable, a late row simply
+    appends another partial to its (window, key) — readers always see
+    point-in-time-correct window digests without any watermark-driven
+    state eviction.  Retention is a storage policy (drop window
+    directories older than X), not a correctness mechanism; this is the
+    watermark-free shape that scales, since state is O(windows x groups x
+    compression) in cheap object storage rather than executor memory.
+    """
+    by = list(by)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        windowed = batch_df.withColumn(
+            "window_start", F.window(F.col(ts_col), window_duration).start
+        )
+        partials = build_partials(
+            windowed, value_col, ["window_start"] + by, compression
+        )
+        (
+            partials.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+
+
+def read_windowed_digests(
+    spark: SparkSession,
+    state_path: str,
+    by: Sequence[str],
+    fanin: int | None = 64,
+) -> DataFrame:
+    return read_stream_digests(spark, state_path, ["window_start"] + list(by), fanin)
+
+
 def tdigest_stateful_stream(
     stream_df: DataFrame,
     value_col: str,

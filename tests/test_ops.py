@@ -347,3 +347,54 @@ def test_udtfs(spark):
     for _, grp in prof.groupby("l_returnflag"):
         vals = grp.sort_values("q")["value"].to_numpy()
         assert (np.diff(vals) >= 0).all()
+
+
+def test_windowed_streaming(spark, tmp_path):
+    from go_tdigest_spark.streaming import (
+        read_windowed_digests,
+        tdigest_windowed_stream_writer,
+    )
+
+    src = str(tmp_path / "w_src")
+    state = str(tmp_path / "w_state")
+    ckpt = str(tmp_path / "w_ckpt")
+    ev = table(spark, SF_TINY, "events").select("ts", "event_type", "value")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        tdigest_windowed_stream_writer(
+            stream, "value", "ts", ["event_type"], state, ckpt,
+            window_duration="1 hour",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    merged = read_windowed_digests(spark, state, ["event_type"]).toPandas()
+    expect = (
+        ev.withColumn("window_start", F.window("ts", "1 hour").start)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .toPandas()
+        .set_index(["window_start", "event_type"])
+    )
+    assert len(merged) == len(expect)
+    for _, row in merged.iterrows():
+        d = serde.decode(bytes(row["digest"]))
+        e = expect.loc[(row["window_start"], row["event_type"])]
+        assert d.count == e["n"]
+        assert d.quantile(0.0) == e["mn"] and d.quantile(1.0) == e["mx"]
+    # multiple triggers contributed partials to the same windows and
+    # merge-on-read resolved them (late-data-safe by construction)
+    n_batches = spark.read.parquet(state).select("batch_id").distinct().count()
+    assert n_batches >= 2
