@@ -185,6 +185,20 @@ def _q_td_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_td_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import tdigest_cube
+
+    orders = table(spark, sf_dir, "orders")
+    d = tdigest_cube(orders, "o_totalprice", ["o_orderstatus", "o_orderpriority"])
+    return d.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        td_count("digest").alias("n"),
+        td_quantile("digest", 0.0).alias("min_total"),
+        td_quantile("digest", 1.0).alias("max_total"),
+    )
+
+
 def _q_td_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").withColumn(
         "qty_w", F.col("l_quantity").cast("long")
@@ -364,6 +378,50 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import hll_agg, hll_estimate
+
+    ev = table(spark, sf_dir, "events")
+    sk = hll_agg(ev, ["user_id"], by=["event_type"])
+    return sk.select(
+        "event_type",
+        F.round(hll_estimate("sketch"), 0).alias("approx_distinct_users"),
+        "n_rows",
+    )
+
+
+def _q_cms_supplier_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import cms_agg, cms_point_query
+
+    li = table(spark, sf_dir, "lineitem")
+    sk = cms_agg(li, ["l_suppkey"], by=[], d=5, w=4096)
+    probes = li.select("l_suppkey").distinct().orderBy("l_suppkey").limit(10)
+    return (
+        sk.crossJoin(F.broadcast(probes))
+        .select(
+            "l_suppkey",
+            cms_point_query("sketch", F.xxhash64("l_suppkey")).alias("approx_freq"),
+        )
+    )
+
+
+def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import bloom_agg, bloom_might_contain
+
+    orders = table(spark, sf_dir, "orders")
+    blooms = bloom_agg(orders, ["o_custkey"], by=["o_orderstatus"])
+    cust = table(spark, sf_dir, "customer").select("c_custkey").orderBy("c_custkey").limit(100)
+    probe = blooms.crossJoin(F.broadcast(cust)).select(
+        "o_orderstatus",
+        bloom_might_contain(
+            "sketch", F.xxhash64("c_custkey"), F.xxhash64("c_custkey", F.lit(1))
+        ).alias("maybe"),
+    )
+    return probe.groupBy("o_orderstatus").agg(
+        F.sum(F.col("maybe").cast("int")).alias("approx_members")
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # opaque binary payloads (ASCII-sanitized so the oracle can sum
@@ -387,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": _q_window_top_orders,
         "sort_limit_orders": _q_sort_limit_orders,
         "td_rollup_lineitem": _q_td_rollup_lineitem,
+        "td_cube_orders": _q_td_cube_orders,
         "td_weighted_lineitem": _q_td_weighted_lineitem,
         "td_centroid_lineage": _q_td_centroid_lineage,
         "td_embedding_components": _q_td_embedding_components,
@@ -404,6 +463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "hll_distinct_users": _q_hll_distinct_users,
+        "cms_supplier_freq": _q_cms_supplier_freq,
+        "bloom_membership": _q_bloom_membership,
         "multimodal_meta": _q_multimodal_meta,
     }
 
@@ -472,6 +534,14 @@ def oracle_sql() -> dict[str, str]:
                    max(l_extendedprice) AS max_price
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "td_cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(o_totalprice) AS n,
+                   min(o_totalprice) AS min_total,
+                   max(o_totalprice) AS max_total
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "td_weighted_lineitem": """
             SELECT l_returnflag,

@@ -306,6 +306,41 @@ def tdigest_agg(
     return merge_partials(partials, by, fanin=fanin)
 
 
+def tdigest_cube(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    compression: float = 100.0,
+    fanin: int | None = 64,
+) -> DataFrame:
+    """CUBE over digests: one row per grouping combination (every subset
+    of ``by``), rolled-up keys as NULL.  Like tdigest_rollup, every
+    non-finest level is derived by merging finest-level digests — the
+    input is scanned exactly once regardless of 2^len(by) levels."""
+    from itertools import combinations
+
+    by = list(by)
+    by_fields = {f.name: f for f in df.schema.fields if f.name in set(by)}
+
+    def with_level_nulls(d: DataFrame, present: list[str]) -> DataFrame:
+        cols = [
+            F.col(c)
+            if c in present
+            else F.lit(None).cast(by_fields[c].dataType).alias(c)
+            for c in by
+        ]
+        cols += [F.col(DIGEST_COL), F.col(ROWS_COL), F.col(WEIGHT_COL)]
+        return d.select(*cols)
+
+    finest = tdigest_agg(df, value_col, by, compression, fanin=fanin)
+    out = with_level_nulls(finest, by)
+    for r in range(len(by) - 1, -1, -1):
+        for subset in combinations(by, r):
+            level = merge_partials(finest, list(subset), fanin=None)
+            out = out.unionByName(with_level_nulls(level, list(subset)))
+    return out
+
+
 def tdigest_rollup(
     df: DataFrame,
     value_col: str,

@@ -1,0 +1,282 @@
+"""Two-phase Spark aggregation for the auxiliary sketches (HLL / Bloom /
+CMS) — the same partial -> merge deployment as the t-digest, sharing one
+generic mapInArrow builder.
+
+Values are hashed JVM-side with ``xxhash64`` before entering Python, so
+probe-side hashing (Bloom membership joins, CMS point queries) uses the
+identical Spark expression and parity is structural.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from ..sketches import HLL, BloomFilter, CountMinSketch
+
+
+def _hash_cols(cols: Sequence[str], seed_salt: int = 0):
+    base = [F.col(c) for c in cols]
+    if seed_salt:
+        return F.xxhash64(*base, F.lit(seed_salt))
+    return F.xxhash64(*base)
+
+
+def _generic_partials(
+    df: DataFrame,
+    by: Sequence[str],
+    hash_exprs: list[Column],
+    make_sketch: Callable[[], object],
+    update: Callable[[object, list[np.ndarray]], None],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Stage 1: one sketch per (partition x group), built from one or
+    more pre-hashed int64 columns."""
+    by = list(by)
+    n_h = len(hash_exprs)
+    proj = (
+        [F.col(c) for c in by]
+        + [e.alias(f"_h{i}") for i, e in enumerate(hash_exprs)]
+        + ([F.col(weight_col).alias("_w")] if weight_col else [])
+    )
+    pruned = df.select(*proj)
+    by_fields = [f for f in pruned.schema.fields if f.name in set(by)]
+    schema = StructType(
+        by_fields
+        + [
+            StructField("sketch", BinaryType(), False),
+            StructField("n_rows", LongType(), False),
+        ]
+    )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    out_schema = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema]
+    )
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        accs: dict[tuple, list] = {}
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            if by:
+                combined = np.zeros(n, dtype=np.int64)
+                mult = 1
+                for j in range(len(by) - 1, -1, -1):
+                    enc = pc.dictionary_encode(batch.column(j))
+                    idx = (
+                        enc.indices.fill_null(-1)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    combined += (idx + 1) * mult
+                    mult *= len(enc.dictionary) + 1
+                uniq, counts = np.unique(combined, return_counts=True)
+                order = np.argsort(combined, kind="stable")
+                firsts = order[np.searchsorted(combined[order], uniq)]
+                keys = [
+                    tuple(batch.column(j)[int(r)].as_py() for j in range(len(by)))
+                    for r in firsts
+                ]
+            else:
+                combined = None
+                uniq = np.zeros(1, dtype=np.int64)
+                counts = np.array([n])
+                keys = [()]
+            hs = [
+                batch.column(len(by) + i).to_numpy(zero_copy_only=False)
+                for i in range(n_h)
+            ]
+            w = (
+                batch.column(len(by) + n_h)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                if weight_col
+                else None
+            )
+            for g, (key, cnt) in enumerate(zip(keys, counts)):
+                acc = accs.get(key)
+                if acc is None:
+                    acc = [make_sketch(), 0]
+                    accs[key] = acc
+                if combined is None or len(uniq) == 1:
+                    sel = slice(None)
+                else:
+                    sel = combined == uniq[g]
+                cols = [h[sel] for h in hs]
+                if w is not None:
+                    cols.append(w[sel])
+                update(acc[0], cols)
+                acc[1] += int(cnt)
+        if accs:
+            arrays = []
+            items = list(accs.items())
+            for j in range(len(by)):
+                arrays.append(
+                    pa.array(
+                        [k[j] for k, _ in items], type=out_schema.field(j).type
+                    )
+                )
+            arrays.append(
+                pa.array([a[0].to_bytes() for _, a in items], type=pa.binary())
+            )
+            arrays.append(pa.array([a[1] for _, a in items], type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return pruned.mapInArrow(gen, schema)
+
+
+def _merge_stage(
+    partials: DataFrame, by: Sequence[str], decode: Callable[[bytes], object]
+) -> DataFrame:
+    by = list(by)
+    schema = StructType(
+        [f for f in partials.schema.fields if f.name in set(by)]
+        + [
+            StructField("sketch", BinaryType(), False),
+            StructField("n_rows", LongType(), False),
+        ]
+    )
+    columns = [f.name for f in schema.fields]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = None
+        for b in pdf["sketch"]:
+            s = decode(bytes(b))
+            sk = s if sk is None else sk.merge(s)
+        row = [pdf[c].iloc[0] for c in by] + [
+            sk.to_bytes(),
+            int(pdf["n_rows"].sum()),
+        ]
+        return pd.DataFrame([row], columns=columns)
+
+    if by:
+        return partials.groupBy(*by).applyInPandas(merge, schema)
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: merge(pdf[columns]), schema
+    )
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def hll_agg(
+    df: DataFrame, cols: Sequence[str], by: Sequence[str] = (), p: int = 12
+) -> DataFrame:
+    """Distinct-count sketch of the tuple ``cols`` per group."""
+    partials = _generic_partials(
+        df,
+        by,
+        [_hash_cols(cols)],
+        lambda: HLL(p),
+        lambda s, c: s.update_hashes(c[0]),
+    )
+    return _merge_stage(partials, by, HLL.from_bytes)
+
+
+def hll_estimate(sketch: Column | str) -> Column:
+    @pandas_udf("double")
+    def _f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else HLL.from_bytes(bytes(b)).estimate()
+        )
+
+    return _f(sketch)
+
+
+# ---------------------------------------------------------------- Bloom
+
+
+def bloom_agg(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+    n_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    partials = _generic_partials(
+        df,
+        by,
+        [_hash_cols(cols), _hash_cols(cols, seed_salt=1)],
+        lambda: BloomFilter(n_bits, k),
+        lambda s, c: s.update_hashes(c[0], c[1]),
+    )
+    return _merge_stage(partials, by, BloomFilter.from_bytes)
+
+
+def bloom_might_contain(sketch: Column | str, h1: Column, h2: Column) -> Column:
+    """Membership probe; pass ``xxhash64(value)`` and
+    ``xxhash64(value, lit(1))`` — the same expressions used at build."""
+
+    @pandas_udf("boolean")
+    def _f(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for buf, x, y in zip(s, a, b):
+            if buf is None:
+                out.append(None)
+                continue
+            bf = BloomFilter.from_bytes(bytes(buf))
+            out.append(
+                bool(
+                    bf.might_contain_hashes(
+                        np.array([x], dtype=np.int64),
+                        np.array([y], dtype=np.int64),
+                    )[0]
+                )
+            )
+        return pd.Series(out)
+
+    return _f(sketch, h1, h2)
+
+
+# ------------------------------------------------------------------ CMS
+
+
+def cms_agg(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+    d: int = 5,
+    w: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    partials = _generic_partials(
+        df,
+        by,
+        [_hash_cols(cols)],
+        lambda: CountMinSketch(d, w),
+        (lambda s, c: s.update_hashes(c[0], c[1]))
+        if weight_col
+        else (lambda s, c: s.update_hashes(c[0])),
+        weight_col=weight_col,
+    )
+    return _merge_stage(partials, by, CountMinSketch.from_bytes)
+
+
+def cms_point_query(sketch: Column | str, h: Column) -> Column:
+    """Estimated frequency of the item whose build-side hash is ``h``
+    (= ``xxhash64(value)``)."""
+
+    @pandas_udf("long")
+    def _f(s: pd.Series, hh: pd.Series) -> pd.Series:
+        out = []
+        for buf, x in zip(s, hh):
+            if buf is None:
+                out.append(None)
+                continue
+            cms = CountMinSketch.from_bytes(bytes(buf))
+            out.append(
+                int(cms.point_query_hashes(np.array([x], dtype=np.int64))[0])
+            )
+        return pd.Series(out)
+
+    return _f(sketch, h)

@@ -1,0 +1,226 @@
+"""Additional mergeable sketches (HyperLogLog, Bloom, Count-Min) sharing
+the t-digest's deployment shape: per-partition partials built from
+vectorized NumPy over Arrow batches, merged associatively.
+
+Design choice: all kernels consume PRE-HASHED 64-bit values.  Hashing
+happens JVM-side with Spark's ``xxhash64`` (codegen'd, seed-stable), so
+Python stays thin, and any query needing a probe hash (Bloom membership,
+CMS point lookup) reproduces it with the same Spark expression — no
+Python/JVM hash-parity problem by construction.
+
+These complement (not replace) the t-digest: t-digest answers quantile/
+CDF/trimmed-mean; HLL answers distinct counts; Bloom answers membership;
+CMS answers per-item frequencies.  north rule: "sketch/approximate-
+aggregation library (HLL, count-min, t-digest, KLL, Bloom)".
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["HLL", "BloomFilter", "CountMinSketch", "clz64"]
+
+_U64 = np.uint64
+
+
+def clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (exact, 6-step binary
+    reduction — float log2 is unsafe near 2^53 rounding)."""
+    x = x.astype(_U64, copy=True)
+    n = np.full(x.shape, 64, dtype=np.int64)
+    pos = np.zeros(x.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        hi = x >> _U64(shift)
+        has = hi != 0
+        pos[has] += shift
+        x[has] = hi[has]
+    nz = x != 0
+    n[nz] = 63 - pos[nz]
+    return n
+
+
+class HLL:
+    """HyperLogLog with 2^p registers (p in [4, 18])."""
+
+    MAGIC = b"HLL1"
+
+    def __init__(self, p: int = 12) -> None:
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8)
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        u = h.astype(np.int64).view(_U64)
+        bucket = (u >> _U64(64 - self.p)).astype(np.int64)
+        rest = u << _U64(self.p)
+        rank = np.minimum(clz64(rest) + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.regs, bucket, rank)
+
+    def merge(self, other: "HLL") -> "HLL":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs with different precision")
+        np.maximum(self.regs, other.regs, out=self.regs)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        if m >= 128:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        elif m == 64:
+            alpha = 0.709
+        elif m == 32:
+            alpha = 0.697
+        else:
+            alpha = 0.673
+        est = alpha * m * m / np.sum(np.exp2(-self.regs.astype(np.float64)))
+        zeros = int((self.regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            return float(m * np.log(m / zeros))
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.MAGIC + struct.pack("<B", self.p) + self.regs.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "HLL":
+        if buf[:4] != cls.MAGIC:
+            raise ValueError("not an HLL payload")
+        p = struct.unpack_from("<B", buf, 4)[0]
+        out = cls(p)
+        out.regs = np.frombuffer(buf, dtype=np.uint8, count=out.m, offset=5).copy()
+        return out
+
+
+class BloomFilter:
+    """Bloom filter over two base hashes (double hashing: g_i = h1 + i*h2)."""
+
+    MAGIC = b"BLM1"
+
+    def __init__(self, n_bits: int = 1 << 16, k: int = 5) -> None:
+        if n_bits % 8:
+            raise ValueError("n_bits must be a multiple of 8")
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        u1 = h1.astype(np.int64).view(_U64)
+        u2 = h2.astype(np.int64).view(_U64)
+        i = np.arange(self.k, dtype=_U64)[:, None]
+        return ((u1[None, :] + i * u2[None, :]) % _U64(self.n_bits)).astype(
+            np.int64
+        )
+
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        pos = self._positions(h1, h2).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def might_contain_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        pos = self._positions(h1, h2)
+        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (other.n_bits, other.k) != (self.n_bits, self.k):
+            raise ValueError("bloom config mismatch")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.bits).mean())
+
+    def to_bytes(self) -> bytes:
+        return (
+            self.MAGIC
+            + struct.pack("<ii", self.n_bits, self.k)
+            + self.bits.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "BloomFilter":
+        if buf[:4] != cls.MAGIC:
+            raise ValueError("not a Bloom payload")
+        n_bits, k = struct.unpack_from("<ii", buf, 4)
+        out = cls(n_bits, k)
+        out.bits = np.frombuffer(
+            buf, dtype=np.uint8, count=n_bits // 8, offset=12
+        ).copy()
+        return out
+
+
+class CountMinSketch:
+    """Count-Min sketch: d rows x w counters; estimates overcount only."""
+
+    MAGIC = b"CMS1"
+
+    def __init__(self, d: int = 5, w: int = 2048, seed: int = 9) -> None:
+        if w & (w - 1):
+            raise ValueError("w must be a power of two")
+        self.d = d
+        self.w = w
+        self._wbits = int(w).bit_length() - 1
+        rng = np.random.default_rng(seed)
+        # odd multipliers: multiplicative hashing in wrap-around uint64
+        self.a = (
+            rng.integers(0, 1 << 62, size=d, dtype=np.uint64) * _U64(2) + _U64(1)
+        )
+        self.b = rng.integers(0, 1 << 63, size=d, dtype=np.uint64)
+        self.table = np.zeros((d, w), dtype=np.int64)
+        self.total = 0
+
+    def _cols(self, h: np.ndarray) -> np.ndarray:
+        # multiplicative hashing: top wbits of (a_i*u + b_i) mod 2^64
+        u = h.astype(np.int64).view(_U64)
+        cols = np.empty((self.d, u.size), dtype=np.int64)
+        shift = _U64(64 - self._wbits)
+        for i in range(self.d):
+            cols[i] = ((self.a[i] * u + self.b[i]) >> shift).astype(np.int64)
+        return cols
+
+    def update_hashes(self, h: np.ndarray, counts: np.ndarray | None = None) -> None:
+        cols = self._cols(h)
+        c = (
+            np.ones(h.size, dtype=np.int64)
+            if counts is None
+            else counts.astype(np.int64)
+        )
+        for i in range(self.d):
+            np.add.at(self.table[i], cols[i], c)
+        self.total += int(c.sum())
+
+    def point_query_hashes(self, h: np.ndarray) -> np.ndarray:
+        cols = self._cols(h)
+        ests = np.stack([self.table[i][cols[i]] for i in range(self.d)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.d, other.w) != (self.d, self.w):
+            raise ValueError("cms config mismatch")
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    def to_bytes(self) -> bytes:
+        return (
+            self.MAGIC
+            + struct.pack("<iiq", self.d, self.w, self.total)
+            + self.table.astype("<i8").tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, seed: int = 9) -> "CountMinSketch":
+        if buf[:4] != cls.MAGIC:
+            raise ValueError("not a CMS payload")
+        d, w, total = struct.unpack_from("<iiq", buf, 4)
+        out = cls(d, w, seed)
+        out.total = total
+        out.table = (
+            np.frombuffer(buf, dtype="<i8", count=d * w, offset=20)
+            .reshape(d, w)
+            .astype(np.int64)
+        )
+        return out

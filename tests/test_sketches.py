@@ -1,0 +1,190 @@
+"""Auxiliary sketch tests: HLL / Bloom / Count-Min kernels and their
+two-phase Spark aggregations, error bounds vs exact answers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_tdigest_spark.sketches import HLL, BloomFilter, CountMinSketch, clz64
+from go_tdigest_spark.operators.sketch_agg import (
+    bloom_agg,
+    bloom_might_contain,
+    cms_agg,
+    cms_point_query,
+    hll_agg,
+    hll_estimate,
+)
+from go_tdigest_spark.sources import table
+
+from conftest import SF_TINY
+
+
+# ------------------------------------------------------------- kernels
+
+
+def test_clz64_exact():
+    xs = np.array(
+        [0, 1, 2, 3, (1 << 63), (1 << 63) - 1, (1 << 53) - 1, 1 << 52],
+        dtype=np.uint64,
+    )
+    want = [64, 63, 62, 62, 0, 1, 11, 11]
+    assert clz64(xs).tolist() == want
+
+
+@pytest.mark.parametrize("n", [100, 10_000, 1_000_000])
+def test_hll_error_bound(n):
+    rng = np.random.default_rng(n)
+    h = rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+    sk = HLL(p=12)
+    sk.update_hashes(h)
+    est = sk.estimate()
+    # standard error 1.04/sqrt(m) ~ 1.6%; allow 5 sigma
+    assert abs(est - n) / n < 5 * 1.04 / np.sqrt(4096), (n, est)
+    # duplicates must not change the estimate
+    sk.update_hashes(h[: n // 2])
+    assert sk.estimate() == est
+
+
+def test_hll_merge_equals_whole():
+    rng = np.random.default_rng(4)
+    h = rng.integers(-(2**63), 2**63 - 1, size=200_000, dtype=np.int64)
+    whole = HLL()
+    whole.update_hashes(h)
+    parts = []
+    for i in range(8):
+        s = HLL()
+        s.update_hashes(h[i::8])
+        parts.append(s)
+    merged = parts[0]
+    for s in parts[1:]:
+        merged.merge(s)
+    assert (merged.regs == whole.regs).all()  # merge is exact on registers
+    rt = HLL.from_bytes(whole.to_bytes())
+    assert rt.estimate() == whole.estimate()
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    rng = np.random.default_rng(5)
+    h1 = rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    h2 = rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    bf = BloomFilter(n_bits=1 << 16, k=5)
+    bf.update_hashes(h1, h2)
+    assert bf.might_contain_hashes(h1, h2).all()  # no false negatives
+    q1 = rng.integers(-(2**63), 2**63 - 1, size=20_000, dtype=np.int64)
+    q2 = rng.integers(-(2**63), 2**63 - 1, size=20_000, dtype=np.int64)
+    fpr = bf.might_contain_hashes(q1, q2).mean()
+    # theoretical fpr ~ (1-e^{-kn/m})^k ~ 0.9% here; allow 3x
+    assert fpr < 0.03, fpr
+    m = BloomFilter.from_bytes(bf.to_bytes())
+    assert (m.bits == bf.bits).all()
+
+
+def test_cms_overcount_only_and_bound():
+    rng = np.random.default_rng(6)
+    items = rng.zipf(1.3, size=50_000).astype(np.int64)
+    h = ((items.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+         ^ items.view(np.uint64)).view(np.int64)  # deterministic hash
+    cms = CountMinSketch(d=5, w=2048)
+    cms.update_hashes(h)
+    uniq, true_counts = np.unique(items, return_counts=True)
+    uh = ((uniq.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+          ^ uniq.view(np.uint64)).view(np.int64)
+    est = cms.point_query_hashes(uh)
+    assert (est >= true_counts).all()  # never undercounts
+    # CM bound: overcount <= e/w * N with prob 1-e^-d; check 99.9th pct
+    over = est - true_counts
+    assert np.quantile(over, 0.999) <= np.e / 2048 * cms.total * 3
+
+    parts = [CountMinSketch(d=5, w=2048) for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.update_hashes(h[i::4])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert (merged.table == cms.table).all()  # merge exact
+    rt = CountMinSketch.from_bytes(cms.to_bytes())
+    assert (rt.table == cms.table).all() and rt.total == cms.total
+
+
+# --------------------------------------------------------------- spark
+
+
+def test_hll_agg_spark(spark):
+    ev = table(spark, SF_TINY, "events")
+    out = hll_agg(ev, ["user_id"], by=["event_type"])
+    res = out.select(
+        "event_type", hll_estimate("sketch").alias("approx_users"), "n_rows"
+    ).toPandas()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for _, row in res.iterrows():
+        want = exact[row["event_type"]]
+        assert abs(row["approx_users"] - want) / want < 0.05, (
+            row["event_type"],
+            row["approx_users"],
+            want,
+        )
+
+
+def test_bloom_agg_spark(spark):
+    orders = table(spark, SF_TINY, "orders")
+    blooms = bloom_agg(orders, ["o_custkey"], by=["o_orderstatus"])
+    cust = table(spark, SF_TINY, "customer").select("c_custkey")
+    probe = blooms.crossJoin(cust.limit(200)).select(
+        "o_orderstatus",
+        "c_custkey",
+        bloom_might_contain(
+            "sketch", F.xxhash64("c_custkey"), F.xxhash64("c_custkey", F.lit(1))
+        ).alias("maybe"),
+    )
+    got = probe.groupBy("o_orderstatus").agg(
+        F.sum(F.col("maybe").cast("int")).alias("hits"),
+        F.count(F.lit(1)).alias("n"),
+    ).toPandas()
+    # true membership counts per status for the same 200 customers
+    truth = (
+        orders.join(
+            cust.limit(200),
+            orders.o_custkey == F.col("c_custkey"),
+            "inner",
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("true_members"))
+        .toPandas()
+        .set_index("o_orderstatus")["true_members"]
+    )
+    for _, row in got.iterrows():
+        t = int(truth.get(row["o_orderstatus"], 0))
+        assert row["hits"] >= t  # no false negatives
+        assert row["hits"] <= row["n"]
+
+
+def test_cms_agg_spark(spark):
+    li = table(spark, SF_TINY, "lineitem")
+    sk = cms_agg(li, ["l_suppkey"], by=[], d=5, w=4096)
+    # probe the 5 most frequent suppliers
+    top = (
+        li.groupBy("l_suppkey").count().orderBy(F.desc("count")).limit(5).collect()
+    )
+    probe_df = spark.createDataFrame(
+        [(r["l_suppkey"], r["count"]) for r in top], "l_suppkey long, true_n long"
+    )
+    res = (
+        sk.crossJoin(probe_df)
+        .select(
+            "l_suppkey",
+            "true_n",
+            cms_point_query("sketch", F.xxhash64("l_suppkey")).alias("est"),
+        )
+        .toPandas()
+    )
+    n_total = li.count()
+    for _, row in res.iterrows():
+        assert row["est"] >= row["true_n"]
+        assert row["est"] - row["true_n"] <= np.e / 4096 * n_total * 3
