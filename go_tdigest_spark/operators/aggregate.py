@@ -258,9 +258,10 @@ def merge_partials(
     columns = [f.name for f in schema.fields]
     merge = _merge_partials_fn(by, columns)
 
+    if fanin is not None and fanin < 2:
+        raise ValueError("fanin must be >= 2")
     n_parts = partials.rdd.getNumPartitions() if fanin else 0
-    if fanin and n_parts > fanin:
-        n_salts = int(math.ceil(n_parts / fanin))
+    if fanin:
         salted_schema = StructType(
             [StructField("_salt", LongType(), False)] + list(schema.fields)
         )
@@ -271,13 +272,20 @@ def merge_partials(
             out.insert(0, "_salt", pdf["_salt"].iloc[0])
             return out[salted_cols]
 
-        partials = (
-            partials.withColumn(
-                "_salt", (F.spark_partition_id() % F.lit(n_salts)).cast("long")
+        # full tree: add salted levels until any group's partial count
+        # fits one reducer's fan-in (at 100k input partitions and
+        # fanin=64 this is two levels: 100k -> 1563 -> 25 -> final)
+        while n_parts > fanin:
+            n_salts = int(math.ceil(n_parts / fanin))
+            partials = (
+                partials.withColumn(
+                    "_salt",
+                    (F.spark_partition_id() % F.lit(n_salts)).cast("long"),
+                )
+                .groupBy(*(by + ["_salt"]))
+                .applyInPandas(merge_salted, salted_schema)
             )
-            .groupBy(*(by + ["_salt"]))
-            .applyInPandas(merge_salted, salted_schema)
-        )
+            n_parts = n_salts
 
     if by:
         return partials.groupBy(*by).applyInPandas(merge, schema)

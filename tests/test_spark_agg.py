@@ -297,7 +297,7 @@ def test_salted_merge_bounds_fanin_under_skew(spark):
     partials = build_partials(df, "v", ["k"])
     salted = merge_partials(partials, ["k"], fanin=4)
     plan = salted._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FlatMapGroupsInPandas") == 2  # salted + final level
+    assert plan.count("FlatMapGroupsInPandas") == 3  # 32 -> 8 -> 2 -> final
 
     out = {r["k"]: r for r in salted.collect()}
     assert out["hot"]["total_weight"] == 99_000
@@ -309,3 +309,16 @@ def test_salted_merge_bounds_fanin_under_skew(spark):
     flat = merge_partials(partials, ["k"], fanin=None)
     plan1 = flat._jdf.queryExecution().executedPlan().toString()
     assert plan1.count("FlatMapGroupsInPandas") == 1
+
+    # recursive tree: 32 partitions with fanin=3 needs 32->11->4->2->final
+    deep = merge_partials(partials, ["k"], fanin=3)
+    plan3 = deep._jdf.queryExecution().executedPlan().toString()
+    assert plan3.count("FlatMapGroupsInPandas") == 4
+    out3 = {r["k"]: r for r in deep.collect()}
+    assert out3["hot"]["total_weight"] == 99_000
+    d3 = serde.decode(bytes(out3["hot"]["digest"]))
+    assert d3.quantile(0.0) == 0.0 and d3.quantile(1.0) == 98_999.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        merge_partials(partials, ["k"], fanin=1)
