@@ -188,3 +188,49 @@ def test_cms_agg_spark(spark):
     for _, row in res.iterrows():
         assert row["est"] >= row["true_n"]
         assert row["est"] - row["true_n"] <= np.e / 4096 * n_total * 3
+
+
+def test_hll_multicol_groups_and_tuple_hash(spark):
+    # grouping by two columns + hashing a multi-column tuple
+    li = table(spark, SF_TINY, "lineitem")
+    out = hll_agg(
+        li, ["l_orderkey", "l_linenumber"], by=["l_returnflag", "l_linestatus"]
+    )
+    res = out.select(
+        "l_returnflag", "l_linestatus", hll_estimate("sketch").alias("est"), "n_rows"
+    ).toPandas()
+    exact = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.countDistinct("l_orderkey", "l_linenumber").alias("n"))
+        .collect()
+    }
+    assert len(res) == len(exact)
+    for _, row in res.iterrows():
+        want = exact[(row["l_returnflag"], row["l_linestatus"])]
+        assert abs(row["est"] - want) / want < 0.06
+        assert row["n_rows"] >= want  # rows >= distinct tuples
+
+
+def test_cms_weighted_spark(spark):
+    li = table(spark, SF_TINY, "lineitem").withColumn(
+        "qty", F.col("l_quantity").cast("long")
+    )
+    sk = cms_agg(li, ["l_returnflag"], by=[], d=5, w=1024, weight_col="qty")
+    truth = {
+        r["l_returnflag"]: r["w"]
+        for r in li.groupBy("l_returnflag").agg(F.sum("qty").alias("w")).collect()
+    }
+    probe = spark.createDataFrame(
+        [(k,) for k in truth], "l_returnflag string"
+    )
+    res = (
+        sk.crossJoin(probe)
+        .select(
+            "l_returnflag",
+            cms_point_query("sketch", F.xxhash64("l_returnflag")).alias("est"),
+        )
+        .toPandas()
+    )
+    for _, row in res.iterrows():
+        assert row["est"] >= truth[row["l_returnflag"]]  # overcount-only holds
