@@ -1,0 +1,46 @@
+"""Shared Arrow-batch helpers for the partial-aggregation builders."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def group_codes(batch: pa.RecordBatch, n_by: int):
+    """Dictionary-encode the first ``n_by`` columns of the batch into one
+    combined mixed-radix row code, and resolve each distinct code back to
+    its python key tuple (NULL keys supported via the -1 sentinel).
+
+    Returns (combined int64 array | None, uniq_codes, row_counts, keys):
+    ``combined`` is None when ``n_by == 0`` (single implicit group).
+    """
+    n = batch.num_rows
+    if n_by == 0:
+        return (
+            None,
+            np.zeros(1, dtype=np.int64),
+            np.array([n], dtype=np.int64),
+            [()],
+        )
+    combined = np.zeros(n, dtype=np.int64)
+    mult = 1
+    for j in range(n_by - 1, -1, -1):
+        enc = pc.dictionary_encode(batch.column(j))
+        idx = (
+            enc.indices.fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        combined += (idx + 1) * mult
+        mult *= len(enc.dictionary) + 1
+    uniq_codes, row_counts = np.unique(combined, return_counts=True)
+    row_order = np.argsort(combined, kind="stable")
+    first_rows = row_order[
+        np.searchsorted(combined[row_order], uniq_codes, side="left")
+    ]
+    keys = [
+        tuple(batch.column(j)[int(r)].as_py() for j in range(n_by))
+        for r in first_rows
+    ]
+    return combined, uniq_codes, row_counts, keys

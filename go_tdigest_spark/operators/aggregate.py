@@ -91,12 +91,18 @@ def build_partials(
     by = list(by)
     cols = by + [value_col] + ([weight_col] if weight_col else [])
     pruned = df.select(*cols).where(F.col(value_col).isNotNull())
+    if weight_col:
+        # a NULL weight would round-trip through NaN->INT64_MIN; rows
+        # without a weight are dropped (same semantics as value nulls)
+        pruned = pruned.where(F.col(weight_col).isNotNull())
     schema = _partial_schema(df, by)
     out_schema = _arrow_schema(schema)
     value_idx = len(by)
     weight_idx = len(by) + 1 if weight_col else None
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ._batch import group_codes
+
         # key (tuple of python group values) -> [TDigest, n_rows, weight]
         accs: dict[tuple, list] = {}
 
@@ -104,34 +110,7 @@ def build_partials(
             n = batch.num_rows
             if n == 0:
                 continue
-
-            # ---- row-level group codes (dictionary-encoded, vectorized)
-            if by:
-                combined = np.zeros(n, dtype=np.int64)
-                mult = 1
-                for j in range(len(by) - 1, -1, -1):
-                    enc = pc.dictionary_encode(batch.column(j))
-                    idx = (
-                        enc.indices.fill_null(-1)
-                        .to_numpy(zero_copy_only=False)
-                        .astype(np.int64)
-                    )
-                    combined += (idx + 1) * mult
-                    mult *= len(enc.dictionary) + 1
-                uniq_codes, row_counts = np.unique(combined, return_counts=True)
-                row_order = np.argsort(combined, kind="stable")
-                first_rows = row_order[
-                    np.searchsorted(combined[row_order], uniq_codes, side="left")
-                ]
-                keys = [
-                    tuple(batch.column(j)[int(r)].as_py() for j in range(len(by)))
-                    for r in first_rows
-                ]
-            else:
-                uniq_codes = np.zeros(1, dtype=np.int64)
-                row_counts = np.array([n], dtype=np.int64)
-                combined = None
-                keys = [()]
+            combined, uniq_codes, row_counts, keys = group_codes(batch, len(by))
 
             # ---- per-group value extraction.  Arrays: pyarrow filter on
             # the list column + zero-copy flatten per group (token-level

@@ -65,8 +65,10 @@ def cosine_topk(
         F.expr(_norm_frag(vec_col)).alias("qnrm"),
     )
     cos = F.expr(_dot_frag("qvec", "cvec")) / (F.col("qnrm") * F.col("cnrm"))
+    # broadcast the FEW query vectors; the corpus streams (never
+    # broadcast the corpus — it is the unbounded side at scale)
     scored = (
-        queries.join(F.broadcast(corpus), F.col("query_id") != F.col("nn_id"))
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("nn_id"))
         .select("query_id", "nn_id", F.round(cos, 4).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
@@ -162,8 +164,8 @@ def lsh_ann_topk(
             "query_id", "qvec", "qnrm", F.explode(F.expr(probes)).alias("qbucket")
         )
     )
-    cand = queries.join(
-        corpus,
+    cand = corpus.join(
+        F.broadcast(queries),
         (F.col("qbucket") == F.col("bucket")) & (F.col("query_id") != F.col("nn_id")),
     ).dropDuplicates(["query_id", "nn_id"])
     cos = F.expr(_dot_frag("qvec", "cvec")) / (F.col("qnrm") * F.col("cnrm"))

@@ -603,11 +603,15 @@ def simhash_signatures(
 
 
 def simhash_candidate_pairs(
-    sigs: DataFrame, max_hamming: int = 8
+    sigs: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
-    """Banded candidate generation: two signatures within hamming distance
-    d <= 8 of each other share at least one identical 16-bit chunk (by
-    pigeonhole when d < 4 chunks * (min 1 differing bit each))."""
+    """Banded candidate generation over four 16-bit chunks.
+
+    Pigeonhole guarantees a shared chunk only for hamming distance d <= 3
+    (4 chunks, so d >= 4 can place one differing bit in every chunk) —
+    hence the default.  Passing ``max_hamming`` above 3 widens the
+    *filter* but candidate recall for d in [4, max_hamming] is partial:
+    only pairs that happen to share an identical chunk are found."""
     chunks = F.expr(
         "transform(sequence(0, 3), i -> "
         "struct(i AS band, shiftright(simhash, i * 16) & 65535 AS key))"

@@ -37,11 +37,25 @@ def _generic_partials(
     make_sketch: Callable[[], object],
     update: Callable[[object, list[np.ndarray]], None],
     weight_col: str | None = None,
+    notnull_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Stage 1: one sketch per (partition x group), built from one or
-    more pre-hashed int64 columns."""
+    more pre-hashed int64 columns.
+
+    ``notnull_cols``: rows with a NULL in any of these are dropped before
+    hashing — xxhash64(NULL) returns the seed, which would otherwise
+    count one phantom element (SQL count(DISTINCT ...) excludes NULLs,
+    so we match it).  NULL weights are dropped too (NaN->int64 is
+    INT64_MIN and silently corrupts counters).
+    """
     by = list(by)
     n_h = len(hash_exprs)
+    cond = None
+    for c in list(notnull_cols) + ([weight_col] if weight_col else []):
+        cur = F.col(c).isNotNull()
+        cond = cur if cond is None else cond & cur
+    if cond is not None:
+        df = df.where(cond)
     proj = (
         [F.col(c) for c in by]
         + [e.alias(f"_h{i}") for i, e in enumerate(hash_exprs)]
@@ -63,35 +77,14 @@ def _generic_partials(
     )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ._batch import group_codes
+
         accs: dict[tuple, list] = {}
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
-            if by:
-                combined = np.zeros(n, dtype=np.int64)
-                mult = 1
-                for j in range(len(by) - 1, -1, -1):
-                    enc = pc.dictionary_encode(batch.column(j))
-                    idx = (
-                        enc.indices.fill_null(-1)
-                        .to_numpy(zero_copy_only=False)
-                        .astype(np.int64)
-                    )
-                    combined += (idx + 1) * mult
-                    mult *= len(enc.dictionary) + 1
-                uniq, counts = np.unique(combined, return_counts=True)
-                order = np.argsort(combined, kind="stable")
-                firsts = order[np.searchsorted(combined[order], uniq)]
-                keys = [
-                    tuple(batch.column(j)[int(r)].as_py() for j in range(len(by)))
-                    for r in firsts
-                ]
-            else:
-                combined = None
-                uniq = np.zeros(1, dtype=np.int64)
-                counts = np.array([n])
-                keys = [()]
+            combined, uniq, counts, keys = group_codes(batch, len(by))
             hs = [
                 batch.column(len(by) + i).to_numpy(zero_copy_only=False)
                 for i in range(n_h)
@@ -179,6 +172,7 @@ def hll_agg(
         [_hash_cols(cols)],
         lambda: HLL(p),
         lambda s, c: s.update_hashes(c[0]),
+        notnull_cols=cols,
     )
     return _merge_stage(partials, by, HLL.from_bytes)
 
@@ -209,6 +203,7 @@ def bloom_agg(
         [_hash_cols(cols), _hash_cols(cols, seed_salt=1)],
         lambda: BloomFilter(n_bits, k),
         lambda s, c: s.update_hashes(c[0], c[1]),
+        notnull_cols=cols,
     )
     return _merge_stage(partials, by, BloomFilter.from_bytes)
 
@@ -258,6 +253,7 @@ def cms_agg(
         if weight_col
         else (lambda s, c: s.update_hashes(c[0])),
         weight_col=weight_col,
+        notnull_cols=cols,
     )
     return _merge_stage(partials, by, CountMinSketch.from_bytes)
 

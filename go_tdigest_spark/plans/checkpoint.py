@@ -62,15 +62,37 @@ class CheckpointedSketchJob:
         files = sorted(self.spark.read.parquet(self.input_path).inputFiles())
         return [files[e :: self.n_epochs] for e in range(self.n_epochs)]
 
+    def _fs_exists(self, path: str) -> bool:
+        # Hadoop FileSystem API so commit markers work on any scheme
+        # (file://, hdfs://, s3a://) — never driver-local os.path
+        jvm = self.spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        return bool(fs.exists(hpath))
+
     def epoch_committed(self, epoch: int) -> bool:
-        return os.path.exists(os.path.join(self._epoch_dir(epoch), "_SUCCESS"))
+        return self._fs_exists(
+            os.path.join(self._epoch_dir(epoch), "_SUCCESS")
+        )
 
     # -------------------------------------------------------------- run
 
     def run_epoch(self, epoch: int, files: list[str]) -> None:
         if not files:
-            os.makedirs(self._epoch_dir(epoch), exist_ok=True)
-            open(os.path.join(self._epoch_dir(epoch), "_SUCCESS"), "w").close()
+            # empty epoch: write an empty partials table through Spark's
+            # committer so the _SUCCESS marker lands on any filesystem
+            src = self.spark.read.parquet(self.input_path).limit(0)
+            build_partials(
+                src,
+                self.value_col,
+                self.by,
+                self.compression,
+                explode_arrays=self.explode_arrays,
+            ).withColumn("partition_id", F.spark_partition_id()).withColumn(
+                "wall_started", F.lit(0.0)
+            ).write.mode("overwrite").parquet(self._epoch_dir(epoch))
             return
         t0 = time.time()
         df = self.spark.read.parquet(*files)
@@ -102,15 +124,32 @@ class CheckpointedSketchJob:
             done += 1
         return self.merged()
 
+    def _committed_dirs(self) -> list[str]:
+        dirs = [
+            self._epoch_dir(e)
+            for e in range(self.n_epochs)
+            if self.epoch_committed(e)
+        ]
+        if not dirs:
+            raise FileNotFoundError(
+                f"no committed epochs under {self.dir}/partials"
+            )
+        return dirs
+
     def merged(self) -> DataFrame:
-        partials = self.spark.read.parquet(os.path.join(self.dir, "partials"))
+        # read only COMMITTED epochs: an interrupted overwrite leaves an
+        # uncommitted directory whose partial contents must never leak
+        # into results (_SUCCESS is the commit record on the read path too)
+        partials = self.spark.read.parquet(*self._committed_dirs())
         cols = self.by + ["digest", "n_rows", "total_weight"]
         return merge_partials(partials.select(*cols), self.by, fanin=self.fanin)
 
     # ----------------------------------------------------------- lineage
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "partials"))
+        return self.spark.read.option("basePath", os.path.join(self.dir, "partials")).parquet(
+            *self._committed_dirs()
+        )
 
     def metrics(self) -> DataFrame:
         return (

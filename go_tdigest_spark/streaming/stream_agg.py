@@ -43,10 +43,13 @@ def tdigest_stream_writer(
         partials = build_partials(
             batch_df, value_col, by, compression, explode_arrays=explode_arrays
         )
-        (
-            partials.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(state_path)
+        # idempotent by construction: each batch owns its batch_id=N
+        # directory and a replay after a crash overwrites it rather than
+        # appending a second copy (foreachBatch offers at-least-once
+        # delivery; the partition overwrite upgrades it to exactly-once
+        # in the state table)
+        partials.write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
         )
 
     return (
@@ -97,10 +100,9 @@ def tdigest_windowed_stream_writer(
         partials = build_partials(
             windowed, value_col, ["window_start"] + by, compression
         )
-        (
-            partials.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(state_path)
+        # per-batch directory: replays overwrite instead of double-count
+        partials.write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
         )
 
     return (
@@ -144,7 +146,14 @@ def tdigest_stateful_stream(
     from ..core import TDigest
     from .. import serde
 
-    q_cols = ", ".join(f"q{int(q * 100)} double" for q in quantiles)
+    def q_name(q: float) -> str:
+        # precision-preserving, collision-free: 0.5 -> q0_5, 0.999 -> q0_999
+        return "q" + format(float(q), "g").replace(".", "_").replace("-", "m")
+
+    names = [q_name(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate quantiles")
+    q_cols = ", ".join(f"{n} double" for n in names)
     out_schema = f"key string, total long, {q_cols}"
     state_schema = "digest binary"
 
@@ -161,8 +170,8 @@ def tdigest_stateful_stream(
         digest.compress()
         state.update((serde.encode(digest),))
         row = {"key": key[0], "total": digest.count}
-        for q in quantiles:
-            row[f"q{int(q * 100)}"] = digest.quantile(q)
+        for q, name in zip(quantiles, names):
+            row[name] = digest.quantile(q)
         yield pd.DataFrame([row])
 
     return (

@@ -308,7 +308,7 @@ def test_stateful_streaming(spark, tmp_path):
     last = spark.sql(
         "SELECT * FROM sf_digests WHERE total IN (SELECT max(total) FROM sf_digests GROUP BY key)"
     ).toPandas()
-    assert (last["q50"] < last["q99"]).all()
+    assert (last["q0_5"] < last["q0_99"]).all()
 
 
 def test_udtfs(spark):
