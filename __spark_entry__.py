@@ -201,7 +201,7 @@ def _q_td_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_td_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").withColumn(
-        "qty_w", F.col("l_quantity").cast("long")
+        "qty_w", F.floor("l_quantity").cast("long")
     )
     d = tdigest_agg(li, "l_extendedprice", by=["l_returnflag"], weight_col="qty_w")
     return d.select(
@@ -545,16 +545,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "td_weighted_lineitem": """
             SELECT l_returnflag,
-                   CAST(sum(l_quantity) AS BIGINT) AS w_count,
-                   round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
-                       AS w_mean
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS w_count,
+                   round(sum(l_extendedprice * floor(l_quantity))
+                         / sum(floor(l_quantity)), 4) AS w_mean
             FROM lineitem GROUP BY l_returnflag
         """,
         # td_centroid_lineage: centroid layout is construction-dependent —
         # rows-only; internal consistency asserted in tests
         "td_embedding_components": """
             SELECT label,
-                   count(*) AS n_components,
+                   count(c) AS n_components,
                    CAST(min(c) AS DOUBLE) AS min_c,
                    CAST(max(c) AS DOUBLE) AS max_c
             FROM (SELECT label, unnest(embedding) AS c FROM embeddings)
@@ -563,9 +564,10 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionization": """
             WITH gaps AS (
                 SELECT user_id,
-                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
-                                PARTITION BY user_id ORDER BY ts, event_id
-                            )) > 1800 THEN 1 ELSE 0 END AS new_session
+                       CASE WHEN floor(epoch(ts)) - floor(epoch(
+                                lag(ts) OVER (
+                                    PARTITION BY user_id ORDER BY ts, event_id
+                                ))) > 1800 THEN 1 ELSE 0 END AS new_session
                 FROM events
             ), per_user AS (
                 SELECT user_id,
@@ -601,9 +603,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join_customers": """
             SELECT c_mktsegment, count(*) AS n_customers_no_big_order
-            FROM customer
-            WHERE c_custkey NOT IN (
-                SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
             )
             GROUP BY c_mktsegment
         """,

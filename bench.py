@@ -65,8 +65,8 @@ def main() -> None:
         total_rows += len(rows)
 
     total = round(sum(timings.values()), 3)
-    # sketch-build throughput: values digested per second across the three
-    # digest-building queries (lineitem x2 + events + documents scans)
+    # sketch-build throughput: values digested per second across the five
+    # digest-building queries (lineitem scanned twice, events twice, documents once)
     from go_tdigest_spark.sources import table
 
     n_li = table(spark, SF_DIR, "lineitem").count()
