@@ -345,7 +345,15 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(docs, "text", "doc_id", n=2, n_hashes=16)
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=2, n_hashes=16)
+    # scalar encoding for the driver's canonicalizer (it cannot sort
+    # list-valued cells); the SQL twin uses array_to_string identically
+    return sigs.select(
+        "doc",
+        F.expr("array_join(transform(sig, x -> cast(x AS string)), ',')").alias(
+            "sig"
+        ),
+    )
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,11 +579,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ), per_user AS (
                 SELECT user_id,
-                       coalesce(sum(new_session), 0) + 1 AS n_sessions,
+                       CAST(coalesce(sum(new_session), 0) + 1 AS BIGINT)
+                           AS n_sessions,
                        count(*) AS n_events
                 FROM gaps GROUP BY user_id
             )
-            SELECT n_sessions, count(*) AS n_users, sum(n_events) AS events
+            SELECT n_sessions, count(*) AS n_users,
+                   CAST(sum(n_events) AS BIGINT) AS events
             FROM per_user GROUP BY n_sessions
         """,
         "events_minute_rollup": """
@@ -637,7 +647,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id", n=2, threshold=0.5
         ),
         "dedup_minhash_signatures": dedup.minhash_signature_sql(
-            "documents", "text", "doc_id", n=2, n_hashes=16
+            "documents", "text", "doc_id", n=2, n_hashes=16, as_string=True
         ),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(
             "documents", "text", "doc_id", n=2, n_hashes=16, bands=4,

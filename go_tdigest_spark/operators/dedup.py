@@ -238,14 +238,18 @@ def minhash_signature_sql(
     n: int,
     n_hashes: int,
     seed: int = 7,
+    as_string: bool = False,
 ) -> str:
+    """``as_string=True`` emits the signature as a comma-joined string —
+    the scalar form external comparators (the driver's canonicalizer)
+    can sort and hash; the array form stays the internal default."""
     a, b = minhash_params(n_hashes, seed)
     sh = shingles_frag(text_col, n, "duck")
     mins = ", ".join(
         f"list_min(list_transform(hs, h -> ({ai} * h + {bi}) % {MH_PRIME}))"
         for ai, bi in zip(a, b)
     )
-    return f"""
+    inner = f"""
         WITH grams AS (
             SELECT {id_col} AS doc, {sh} AS sh FROM {table}
         ), hashed AS (
@@ -254,6 +258,11 @@ def minhash_signature_sql(
             FROM grams WHERE len(sh) > 0
         )
         SELECT doc, [{mins}] AS sig FROM hashed
+    """
+    if not as_string:
+        return inner
+    return f"""
+        SELECT doc, array_to_string(sig, ',') AS sig FROM ({inner})
     """
 
 
