@@ -1,0 +1,89 @@
+"""Shared salted tree-merge for mergeable-sketch partials.
+
+One reduction shape serves every sketch in the library (t-digest, HLL,
+CMS, Bloom, KLL): stage-1 emits one partial row per (input partition x
+group); this helper merges them down to one row per group with *bounded
+reducer fan-in* at every level, which is what keeps a global or hot-key
+merge from funnelling 100k partials into a single python worker.
+
+Salt derivation is deterministic at every level (advisor finding,
+round 1): level 0 uses ``spark_partition_id() % n_salts`` — a hard bound
+because each input partition contributes at most one partial per group —
+and each subsequent level re-buckets the *carried* salt via integer
+division by ``fanin``, so the per-reducer fan-in is exactly ``<= fanin``
+at every level, not just in expectation under hash partitioning.
+
+Merge associativity (reference: tdigest.go:262-272 for the digest; HLL
+register-max / CMS counter-add / Bloom bit-or are trivially associative)
+is what makes tree depth irrelevant to correctness.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def tree_merge(
+    partials: DataFrame,
+    by: Sequence[str],
+    schema: StructType,
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fanin: int | None,
+) -> DataFrame:
+    """Merge partial rows to one row per group.
+
+    ``merge_fn(pdf) -> pdf`` must emit exactly one row with the columns of
+    ``schema`` (it may receive extra columns, e.g. the salt — select what
+    it needs).  ``fanin=None`` disables salting (single-level merge).
+    """
+    by = list(by)
+    columns = [f.name for f in schema.fields]
+    if fanin is not None and fanin < 2:
+        raise ValueError("fanin must be >= 2")
+
+    n_parts = partials.rdd.getNumPartitions() if fanin else 0
+    if fanin:
+        salted_schema = StructType(
+            [StructField("_salt", LongType(), False)] + list(schema.fields)
+        )
+        salted_cols = [f.name for f in salted_schema.fields]
+
+        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = merge_fn(pdf[columns])
+            out.insert(0, "_salt", pdf["_salt"].iloc[0])
+            return out[salted_cols]
+
+        first = True
+        while n_parts > fanin:
+            n_salts = int(math.ceil(n_parts / fanin))
+            if first:
+                # hard bound: partition ids 0..P-1 map round-robin onto
+                # salts, and each input partition holds <=1 partial/group
+                salt = (F.spark_partition_id() % F.lit(n_salts)).cast("long")
+                first = False
+            else:
+                # hard bound: previous level left exactly one row per
+                # (group, salt<n_parts); consecutive-salt blocks of size
+                # `fanin` collapse into one reducer
+                salt = F.floor(F.col("_salt") / F.lit(fanin)).cast("long")
+            partials = (
+                partials.withColumn("_salt", salt)
+                .groupBy(*(by + ["_salt"]))
+                .applyInPandas(merge_salted, salted_schema)
+            )
+            n_parts = n_salts
+
+    if by:
+        return partials.groupBy(*by).applyInPandas(
+            lambda pdf: merge_fn(pdf[columns]), schema
+        )
+    # global aggregate: single group
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: merge_fn(pdf[columns]), schema
+    )

@@ -28,7 +28,6 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
-import math
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -220,11 +219,13 @@ def merge_partials(
 ) -> DataFrame:
     """Stage 2: tree-merge partial digests down to one row per group.
 
-    ``fanin`` bounds how many partials any single reducer merges; when the
-    partial count per group exceeds it, an intermediate salted merge level
-    is inserted (salt = spark_partition_id % n_salts, so no extra column
-    scan and uniform spread by construction).
+    ``fanin`` bounds how many partials any single reducer merges — a hard
+    per-level bound at every level (level 0 via partition-id round-robin,
+    later levels via deterministic salt re-bucketing; see _tree.py).  At
+    100k input partitions and fanin=64 that is 100k -> 1563 -> 25 -> final.
     """
+    from ._tree import tree_merge
+
     by = list(by)
     schema = StructType(
         [f for f in partials.schema.fields if f.name in set(by)]
@@ -236,42 +237,7 @@ def merge_partials(
     )
     columns = [f.name for f in schema.fields]
     merge = _merge_partials_fn(by, columns)
-
-    if fanin is not None and fanin < 2:
-        raise ValueError("fanin must be >= 2")
-    n_parts = partials.rdd.getNumPartitions() if fanin else 0
-    if fanin:
-        salted_schema = StructType(
-            [StructField("_salt", LongType(), False)] + list(schema.fields)
-        )
-        salted_cols = [f.name for f in salted_schema.fields]
-
-        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = merge(pdf[columns])
-            out.insert(0, "_salt", pdf["_salt"].iloc[0])
-            return out[salted_cols]
-
-        # full tree: add salted levels until any group's partial count
-        # fits one reducer's fan-in (at 100k input partitions and
-        # fanin=64 this is two levels: 100k -> 1563 -> 25 -> final)
-        while n_parts > fanin:
-            n_salts = int(math.ceil(n_parts / fanin))
-            partials = (
-                partials.withColumn(
-                    "_salt",
-                    (F.spark_partition_id() % F.lit(n_salts)).cast("long"),
-                )
-                .groupBy(*(by + ["_salt"]))
-                .applyInPandas(merge_salted, salted_schema)
-            )
-            n_parts = n_salts
-
-    if by:
-        return partials.groupBy(*by).applyInPandas(merge, schema)
-    # global aggregate: single group
-    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
-        lambda pdf: merge(pdf[columns]), schema
-    )
+    return tree_merge(partials, by, schema, merge, fanin)
 
 
 def tdigest_agg(

@@ -129,8 +129,21 @@ def _generic_partials(
 
 
 def _merge_stage(
-    partials: DataFrame, by: Sequence[str], decode: Callable[[bytes], object]
+    partials: DataFrame,
+    by: Sequence[str],
+    decode: Callable[[bytes], object],
+    fanin: int | None = 64,
 ) -> DataFrame:
+    """Tree-merge sketch partials with bounded reducer fan-in.
+
+    Same salted-level reduction as the t-digest path (_tree.py): without
+    it, a global ``cms_agg(by=[])`` at d=5,w=4096 (~160 KB/partial) would
+    funnel ~16 GB into one reducer at 100k input partitions.  HLL/CMS/
+    Bloom merges are exact (register-max / counter-add / bit-or), so the
+    tree produces byte-identical results to a flat merge in any order.
+    """
+    from ._tree import tree_merge
+
     by = list(by)
     schema = StructType(
         [f for f in partials.schema.fields if f.name in set(by)]
@@ -152,18 +165,18 @@ def _merge_stage(
         ]
         return pd.DataFrame([row], columns=columns)
 
-    if by:
-        return partials.groupBy(*by).applyInPandas(merge, schema)
-    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
-        lambda pdf: merge(pdf[columns]), schema
-    )
+    return tree_merge(partials, by, schema, merge, fanin)
 
 
 # ------------------------------------------------------------------ HLL
 
 
 def hll_agg(
-    df: DataFrame, cols: Sequence[str], by: Sequence[str] = (), p: int = 12
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+    p: int = 12,
+    fanin: int | None = 64,
 ) -> DataFrame:
     """Distinct-count sketch of the tuple ``cols`` per group."""
     partials = _generic_partials(
@@ -174,7 +187,7 @@ def hll_agg(
         lambda s, c: s.update_hashes(c[0]),
         notnull_cols=cols,
     )
-    return _merge_stage(partials, by, HLL.from_bytes)
+    return _merge_stage(partials, by, HLL.from_bytes, fanin=fanin)
 
 
 def hll_estimate(sketch: Column | str) -> Column:
@@ -196,6 +209,7 @@ def bloom_agg(
     by: Sequence[str] = (),
     n_bits: int = 1 << 16,
     k: int = 5,
+    fanin: int | None = 64,
 ) -> DataFrame:
     partials = _generic_partials(
         df,
@@ -205,7 +219,7 @@ def bloom_agg(
         lambda s, c: s.update_hashes(c[0], c[1]),
         notnull_cols=cols,
     )
-    return _merge_stage(partials, by, BloomFilter.from_bytes)
+    return _merge_stage(partials, by, BloomFilter.from_bytes, fanin=fanin)
 
 
 def bloom_might_contain(sketch: Column | str, h1: Column, h2: Column) -> Column:
@@ -243,7 +257,19 @@ def cms_agg(
     d: int = 5,
     w: int = 2048,
     weight_col: str | None = None,
+    fanin: int | None = 64,
 ) -> DataFrame:
+    if weight_col is not None:
+        wf = {f.name: f for f in df.schema.fields}.get(weight_col)
+        if wf is None:
+            raise ValueError(f"weight column {weight_col!r} not in DataFrame")
+        if wf.dataType.simpleString() not in ("tinyint", "smallint", "int", "bigint"):
+            # CMS counters are integers; silently truncating float weights
+            # (or accepting <=0) would break the overcount-only invariant
+            raise TypeError(
+                f"cms_agg weight column must be integral, got "
+                f"{wf.dataType.simpleString()} — cast explicitly"
+            )
     partials = _generic_partials(
         df,
         by,
@@ -255,7 +281,7 @@ def cms_agg(
         weight_col=weight_col,
         notnull_cols=cols,
     )
-    return _merge_stage(partials, by, CountMinSketch.from_bytes)
+    return _merge_stage(partials, by, CountMinSketch.from_bytes, fanin=fanin)
 
 
 def cms_point_query(sketch: Column | str, h: Column) -> Column:

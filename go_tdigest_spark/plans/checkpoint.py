@@ -58,9 +58,57 @@ class CheckpointedSketchJob:
     def _epoch_dir(self, epoch: int) -> str:
         return os.path.join(self.dir, "partials", f"epoch={epoch}")
 
-    def _epoch_files(self) -> list[list[str]]:
+    def _live_epoch_files(self) -> list[list[str]]:
         files = sorted(self.spark.read.parquet(self.input_path).inputFiles())
         return [files[e :: self.n_epochs] for e in range(self.n_epochs)]
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "manifest.json")
+
+    def _epoch_files(self) -> list[list[str]]:
+        """File-to-epoch assignment, pinned by a persisted manifest.
+
+        The assignment is derived from the input listing exactly once and
+        written to ``<dir>/manifest.json``; every later run (resume after
+        a crash) reads it back and FAILS LOUDLY if the live listing has
+        diverged — otherwise committed epochs would silently no longer
+        correspond to their original file slices (double-count or drop).
+        """
+        import json
+
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        mpath = jvm.org.apache.hadoop.fs.Path(self._manifest_path())
+        fs = mpath.getFileSystem(conf)
+        live = self._live_epoch_files()
+        if not fs.exists(mpath):
+            payload = json.dumps({"n_epochs": self.n_epochs, "epochs": live})
+            out = fs.create(mpath, True)
+            out.write(bytearray(payload.encode("utf-8")))
+            out.close()
+            return live
+        stream = fs.open(mpath)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        stored = json.loads(text)
+        if stored["n_epochs"] != self.n_epochs:
+            raise ValueError(
+                f"checkpoint manifest was written with n_epochs="
+                f"{stored['n_epochs']}, job configured with {self.n_epochs}"
+            )
+        if stored["epochs"] != live:
+            manifest_set = {f for ep in stored["epochs"] for f in ep}
+            live_set = {f for ep in live for f in ep}
+            raise ValueError(
+                "input file listing diverged from the checkpoint manifest "
+                f"({self._manifest_path()}); added="
+                f"{sorted(live_set - manifest_set)[:5]} removed="
+                f"{sorted(manifest_set - live_set)[:5]} — delete the "
+                "checkpoint dir to restart from scratch"
+            )
+        return stored["epochs"]
 
     def _fs_exists(self, path: str) -> bool:
         # Hadoop FileSystem API so commit markers work on any scheme

@@ -183,11 +183,19 @@ class CountMinSketch:
 
     def update_hashes(self, h: np.ndarray, counts: np.ndarray | None = None) -> None:
         cols = self._cols(h)
-        c = (
-            np.ones(h.size, dtype=np.int64)
-            if counts is None
-            else counts.astype(np.int64)
-        )
+        if counts is None:
+            c = np.ones(h.size, dtype=np.int64)
+        else:
+            c = np.asarray(counts)
+            if c.dtype.kind == "f":
+                # a silent .astype(int64) would truncate fractions (and
+                # map NaN to INT64_MIN) — reject like TDigest.add_batch
+                raise TypeError("CMS counts must be integral, got float")
+            c = c.astype(np.int64)
+            if c.size and int(c.min()) <= 0:
+                # zero/negative increments break the overcount-only
+                # (min-estimate) invariant
+                raise ValueError("CMS counts must be > 0")
         for i in range(self.d):
             np.add.at(self.table[i], cols[i], c)
         self.total += int(c.sum())

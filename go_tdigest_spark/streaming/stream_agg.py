@@ -59,13 +59,46 @@ def tdigest_stream_writer(
     )
 
 
+def _committed_batch_dirs(spark: SparkSession, state_path: str) -> list[str]:
+    """batch_id=N subdirectories holding a _SUCCESS commit marker.
+
+    A reader concurrent with a crash-replay overwrite of batch N (mode
+    'overwrite' deletes the directory before rewriting) must never see
+    that batch's partially-written files — _SUCCESS is the commit record
+    on the read path, exactly as in plans/checkpoint.py.  Hadoop FS API
+    so the check works on any scheme (file://, hdfs://, s3a://).
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        p = status.getPath()
+        if not p.getName().startswith("batch_id="):
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+            out.append(p.toString())
+    return sorted(out)
+
+
 def read_stream_digests(
     spark: SparkSession, state_path: str, by: Sequence[str], fanin: int | None = 64
 ) -> DataFrame:
-    """Merge-on-read: current digests from the streaming state table."""
+    """Merge-on-read: current digests from the streaming state table
+    (committed batches only — see _committed_batch_dirs)."""
     by = list(by)
-    partials = spark.read.parquet(state_path).select(
-        *by, "digest", "n_rows", "total_weight"
+    dirs = _committed_batch_dirs(spark, state_path)
+    if not dirs:
+        raise FileNotFoundError(f"no committed batches under {state_path}")
+    partials = (
+        spark.read.option("basePath", state_path)
+        .parquet(*dirs)
+        .select(*by, "digest", "n_rows", "total_weight")
     )
     return merge_partials(partials, by, fanin=fanin)
 

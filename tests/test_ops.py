@@ -398,3 +398,58 @@ def test_windowed_streaming(spark, tmp_path):
     # merge-on-read resolved them (late-data-safe by construction)
     n_batches = spark.read.parquet(state).select("batch_id").distinct().count()
     assert n_batches >= 2
+
+
+def test_stream_read_ignores_uncommitted_batches(spark, tmp_path):
+    """A batch_id directory without _SUCCESS (mid-overwrite during a
+    crash replay) must be invisible to readers."""
+    from go_tdigest_spark.operators.aggregate import build_partials
+
+    state = str(tmp_path / "state")
+    li = table(spark, SF_TINY, "lineitem").select("l_returnflag", "l_extendedprice")
+    partials = build_partials(li, "l_extendedprice", ["l_returnflag"])
+    partials.write.parquet(f"{state}/batch_id=0")
+    partials.write.parquet(f"{state}/batch_id=1")
+
+    total = table(spark, SF_TINY, "lineitem").count()
+    both = read_stream_digests(spark, state, ["l_returnflag"]).toPandas()
+    assert int(both["n_rows"].sum()) == 2 * total
+
+    # simulate the torn batch: commit marker gone, data files present
+    os.remove(os.path.join(state, "batch_id=1", "_SUCCESS"))
+    committed = read_stream_digests(spark, state, ["l_returnflag"]).toPandas()
+    assert int(committed["n_rows"].sum()) == total
+
+    os.remove(os.path.join(state, "batch_id=0", "_SUCCESS"))
+    with pytest.raises(FileNotFoundError):
+        read_stream_digests(spark, state, ["l_returnflag"])
+
+
+def test_checkpoint_manifest_pins_input_listing(spark, tmp_path):
+    """Resume after the input listing changed must fail loudly — a
+    re-derived file-to-epoch split would silently double-count or drop
+    slices of committed epochs."""
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "input")
+    li = table(spark, SF_TINY, "lineitem").select("l_returnflag", "l_extendedprice")
+    li.repartition(8).write.parquet(src)
+
+    job = CheckpointedSketchJob(
+        spark, src, "l_extendedprice", ["l_returnflag"], ckpt, n_epochs=4
+    )
+    job.run(max_epochs=2)  # "crash" after two committed epochs
+
+    # input mutates between crash and resume
+    li.limit(10).write.mode("append").parquet(src)
+    job2 = CheckpointedSketchJob(
+        spark, src, "l_extendedprice", ["l_returnflag"], ckpt, n_epochs=4
+    )
+    with pytest.raises(ValueError, match="diverged"):
+        job2.run(resume=True)
+
+    # a different n_epochs on resume is also a config error
+    job3 = CheckpointedSketchJob(
+        spark, src, "l_extendedprice", ["l_returnflag"], ckpt, n_epochs=8
+    )
+    with pytest.raises(ValueError, match="n_epochs"):
+        job3.run(resume=True)

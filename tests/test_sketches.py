@@ -234,3 +234,63 @@ def test_cms_weighted_spark(spark):
     )
     for _, row in res.iterrows():
         assert row["est"] >= truth[row["l_returnflag"]]  # overcount-only holds
+
+
+# ----------------------------------------------- tree merge / validation
+
+
+def test_sketch_tree_merge_equals_flat(spark):
+    """>=1000 synthetic partials through >=2 salted levels must merge to
+    byte-identical sketches vs the flat (single-reducer) merge — HLL
+    register-max / CMS counter-add / Bloom bit-or are exact under any
+    merge order, so equality (not bounds) is the assert."""
+    from go_tdigest_spark.operators.sketch_agg import _merge_stage
+
+    rng = np.random.default_rng(3)
+    n_partials = 1000
+    rows = {"hll": [], "cms": [], "blm": []}
+    for _ in range(n_partials):
+        h = rng.integers(-(2**62), 2**62, size=20, dtype=np.int64)
+        hll = HLL(8)
+        hll.update_hashes(h)
+        cms = CountMinSketch(3, 256)
+        cms.update_hashes(h)
+        blm = BloomFilter(1 << 10, 3)
+        blm.update_hashes(h, h + 1)
+        rows["hll"].append((hll.to_bytes(), 20))
+        rows["cms"].append((cms.to_bytes(), 20))
+        rows["blm"].append((blm.to_bytes(), 20))
+
+    decoders = {
+        "hll": HLL.from_bytes,
+        "cms": CountMinSketch.from_bytes,
+        "blm": BloomFilter.from_bytes,
+    }
+    for kind, decode in decoders.items():
+        partials = spark.createDataFrame(
+            rows[kind], "sketch binary, n_rows long"
+        ).repartition(n_partials)
+        tree = _merge_stage(partials, [], decode, fanin=8)
+        # 1000 -> 125 -> 16 -> 2 -> final: three salted levels + final
+        plan = tree._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FlatMapGroupsInPandas") == 4, kind
+        flat = _merge_stage(partials, [], decode, fanin=None)
+        t = tree.collect()[0]
+        f = flat.collect()[0]
+        assert bytes(t["sketch"]) == bytes(f["sketch"]), kind
+        assert t["n_rows"] == f["n_rows"] == n_partials * 20, kind
+
+
+def test_cms_rejects_nonpositive_and_float_counts(spark):
+    cms = CountMinSketch(3, 256)
+    h = np.array([1, 2, 3], dtype=np.int64)
+    with pytest.raises(TypeError):
+        cms.update_hashes(h, np.array([1.5, 2.0, 3.0]))
+    with pytest.raises(ValueError):
+        cms.update_hashes(h, np.array([1, 0, 2], dtype=np.int64))
+    with pytest.raises(ValueError):
+        cms.update_hashes(h, np.array([1, -2, 2], dtype=np.int64))
+    # plan-time rejection of a fractional weight column
+    df = spark.createDataFrame([("a", 1.5)], "k string, w double")
+    with pytest.raises(TypeError):
+        cms_agg(df, ["k"], weight_col="w")
