@@ -322,14 +322,12 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "source",
-            T.lang_id("text").alias("lang_guess"),
-            T.quality_score("text").alias("q"),
-        )
-        .groupBy("source", "lang_guess")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("q"), 4).alias("avg_quality"))
+    # vectorized path (text_features) for both per-doc and summary
+    # queries — the expression forms are interpreter-bound at scale
+    feats = T.text_features(docs, "text", "doc_id", extra_cols=("source",))
+    return feats.groupBy("source", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
 
 

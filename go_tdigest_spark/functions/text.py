@@ -143,8 +143,12 @@ def fingerprint(col: str) -> Column:
 # ------------------------------------------------- vectorized batch form
 
 
-def text_features(df, text_col: str, id_col: str):
+def text_features(df, text_col: str, id_col: str, extra_cols: tuple = ()):
     """All four text features in one vectorized mapInArrow pass.
+
+    ``extra_cols`` are carried through the Arrow batch untouched (zero
+    copy) so downstream aggregations (e.g. per-source summaries) need no
+    join back to the input.
 
     Bit-identical to the SQL-expression forms above (same codepoint
     polynomial, same replace-count stopword formula, same operand order
@@ -163,8 +167,14 @@ def text_features(df, text_col: str, id_col: str):
     import numpy as np
     import pyarrow as pa
 
+    extra_cols = tuple(extra_cols)
     id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
-    pruned = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    extra_dts = [
+        df.select(c).schema.fields[0].dataType.simpleString() for c in extra_cols
+    ]
+    pruned = df.select(id_col, text_col, *extra_cols).where(
+        F.col(text_col).isNotNull()
+    )
     non_punct = re.compile(r"[^.,!?;:]")
     non_alpha = re.compile(r"[^a-zA-Z]")
     ws = re.compile(r"\s+")
@@ -227,13 +237,18 @@ def text_features(df, text_col: str, id_col: str):
                     pa.array(langs, type=pa.string()),
                     pa.array(fp, type=pa.int64()),
                     pa.array(quality, type=pa.float64()),
-                ],
-                names=["doc_id", "n_tokens", "lang_guess", "fingerprint", "_q_raw"],
+                ]
+                + [batch.column(2 + j) for j in range(len(extra_cols))],
+                names=["doc_id", "n_tokens", "lang_guess", "fingerprint", "_q_raw"]
+                + list(extra_cols),
             )
 
+    extra_schema = "".join(
+        f", {c} {dt}" for c, dt in zip(extra_cols, extra_dts)
+    )
     out = pruned.mapInArrow(
         gen,
         f"doc_id {id_dt}, n_tokens int, lang_guess string, "
-        "fingerprint long, _q_raw double",
+        f"fingerprint long, _q_raw double{extra_schema}",
     )
     return out.withColumn("quality", F.round("_q_raw", 4)).drop("_q_raw")

@@ -7,6 +7,34 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def poly_hash_batch(
+    strings: list[str], base: int = 31, mod: int = 1_000_000_007
+) -> np.ndarray:
+    """Vectorized polynomial codepoint hash ``h = (h*base + cp) % mod``
+    for every string of a batch: one utf-32 encode for the whole batch,
+    then one column-wise pass per character position (max_len passes
+    total, each a fancy-indexed numpy expression — no per-string loop).
+
+    Bit-identical to the SQL formulation ``aggregate(transform(...))`` /
+    ``list_reduce`` used by the oracle twins (ascii() == codepoint).
+    """
+    m = len(strings)
+    h = np.zeros(m, dtype=np.int64)
+    if m == 0:
+        return h
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=m)
+    cps = np.frombuffer(
+        "".join(strings).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    offs = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    max_len = int(lens.max())
+    for j in range(max_len):
+        active = lens > j
+        h[active] = (h[active] * base + cps[offs[:-1][active] + j]) % mod
+    return h
+
+
 def group_codes(batch: pa.RecordBatch, n_by: int):
     """Dictionary-encode the first ``n_by`` columns of the batch into one
     combined mixed-radix row code, and resolve each distinct code back to

@@ -110,7 +110,13 @@ def cosine_topk_sql(
 
 
 def lsh_signature_col(vec_col: str, n_planes: int, dim: int):
-    """Bucket id: sign bits of the vector against deterministic planes."""
+    """Bucket id: sign bits of the vector against deterministic planes.
+
+    Expression form (nested higher-order functions — Catalyst interprets
+    these, it does not codegen them).  Kept as the SQL-replicable twin
+    and golden reference; the hot path is ``lsh_features`` below, which
+    computes identical buckets with one BLAS matmul per Arrow batch.
+    """
     h = hyperplanes(n_planes, dim)
     bit_terms = []
     for p in range(n_planes):
@@ -121,6 +127,62 @@ def lsh_signature_col(vec_col: str, n_planes: int, dim: int):
         )
         bit_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p}L ELSE 0L END)")
     return F.expr(" + ".join(bit_terms))
+
+
+def lsh_features(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_planes: int,
+    dim: int,
+) -> DataFrame:
+    """Vectorized LSH features: one mapInArrow pass emits
+    ``(id, vec, nrm, bucket)`` — the whole batch's sign bits come from a
+    single ``V @ H.T`` BLAS product and one bit-packing matmul, replacing
+    n_planes interpreted ``aggregate()`` expressions per row.  Zero-norm
+    vectors are dropped (no cosine is defined for them).
+
+    The per-element dot order differs from the expression form only in
+    float summation order; tests pin bucket equality on real data.
+    """
+    import pyarrow as pa
+
+    planes = hyperplanes(n_planes, dim)  # (n_planes, dim)
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.float64)
+    id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
+    vec_dt = df.select(vec_col).schema.fields[0].dataType.simpleString()
+    pruned = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec_arr = batch.column(1)
+            flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"expected fixed-length {dim} vectors, got "
+                    f"{flat.size} values for {n} rows"
+                )
+            mat = flat.astype(np.float64, copy=False).reshape(n, dim)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            bits = (mat @ planes.T) >= 0.0  # (n, n_planes) BLAS
+            bucket = (bits.astype(np.float64) @ pow2).astype(np.int64)
+            keep = nrm > 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).filter(pa.array(keep)),
+                    vec_arr.filter(pa.array(keep)),
+                    pa.array(nrm[keep], type=pa.float64()),
+                    pa.array(bucket[keep], type=pa.int64()),
+                ],
+                names=["nn_id", "cvec", "cnrm", "bucket"],
+            )
+
+    return pruned.mapInArrow(
+        gen, f"nn_id {id_dt}, cvec {vec_dt}, cnrm double, bucket long"
+    )
 
 
 def lsh_ann_topk(
@@ -138,13 +200,7 @@ def lsh_ann_topk(
     away from the query's (n_planes extra probes/query — the standard
     recall fix that costs nothing on the corpus side).  Recall < 1 by
     construction; tests pin it against cosine_topk."""
-    sig = lsh_signature_col(vec_col, n_planes, dim)
-    corpus = df.select(
-        F.col(id_col).alias("nn_id"),
-        F.col(vec_col).alias("cvec"),
-        F.expr(_norm_frag(vec_col)).alias("cnrm"),
-        sig.alias("bucket"),
-    ).where(F.expr(_norm_frag(vec_col)) > 0)
+    corpus = lsh_features(df, vec_col, id_col, n_planes, dim)
     if multiprobe:
         probes = (
             f"concat(array(qbucket0), transform(sequence(0, {n_planes - 1}), "
@@ -153,12 +209,14 @@ def lsh_ann_topk(
     else:
         probes = "array(qbucket0)"
     queries = (
-        df.where(F.col(id_col).isin(query_ids))
+        lsh_features(
+            df.where(F.col(id_col).isin(query_ids)), vec_col, id_col, n_planes, dim
+        )
         .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            F.expr(_norm_frag(vec_col)).alias("qnrm"),
-            sig.alias("qbucket0"),
+            F.col("nn_id").alias("query_id"),
+            F.col("cvec").alias("qvec"),
+            F.col("cnrm").alias("qnrm"),
+            F.col("bucket").alias("qbucket0"),
         )
         .select(
             "query_id", "qvec", "qnrm", F.explode(F.expr(probes)).alias("qbucket")

@@ -320,22 +320,11 @@ def minhash_signatures(
                 doc_bounds.append(doc_bounds[-1] + len(sh))
             if not doc_ids:
                 continue
-            # one encode for the whole batch; codepoints == SQL ascii()
-            lens = np.fromiter(
-                (len(s) for s in all_shingles), dtype=np.int64, count=len(all_shingles)
-            )
-            cps = np.frombuffer(
-                "".join(all_shingles).encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            offs = np.zeros(lens.size + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
-            # column-wise polynomial hash: h = (h*31 + cp) % M
-            h = np.zeros(lens.size, dtype=np.int64)
-            max_len = int(lens.max())
-            for j in range(max_len):
-                active = lens > j
-                idx = offs[:-1][active] + j
-                h[active] = (h[active] * FP_BASE + cps[idx]) % FP_MOD
+            # column-wise polynomial hash over the whole batch's shingles
+            # (codepoints == SQL ascii())
+            from ._batch import poly_hash_batch
+
+            h = poly_hash_batch(all_shingles, FP_BASE, FP_MOD)
             # affine permutations + per-doc segment minima
             starts = np.asarray(doc_bounds[:-1])
             sig = np.empty((len(doc_ids), a_vec.size), dtype=np.int64)
@@ -562,53 +551,73 @@ def minhash_jaccard_dedup_sql(
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, seed: int = 11
 ) -> DataFrame:
-    """64-bit SimHash over word tokens, vectorized numpy inside mapInArrow.
+    """64-bit SimHash over distinct word tokens — fully vectorized
+    (mapInArrow + NumPy, no per-row Python loop).
 
-    No SQL oracle (crc32-based token hashing); properties are pinned in
-    tests instead (near-dup text -> small hamming distance).
+    Per Arrow batch: every distinct word of every doc is hashed with the
+    shared column-wise polynomial kernel (poly_hash_batch — same kernel
+    MinHash uses), seed-mixed and widened to 64 bits with a splitmix64
+    finalizer, then each of the 64 bit positions takes one vectorized
+    pass: extract the bit column for all words, ``np.add.reduceat`` the
+    per-doc ones-count, and set the signature bit where ones >= half the
+    doc's word count (the majority-vote rule, ties -> 1, matching the
+    classic formulation votes >= 0).  O(words) memory — the W x 64 bit
+    matrix is never materialized.
+
+    No SQL oracle (bit-mixing isn't SQL-replicable); determinism is
+    pinned by a pure-Python golden reference in tests plus the near-dup
+    hamming-distance properties.
     """
     import pyarrow as pa
 
     id_field = df.select(id_col).schema.fields[0]
-    out_type = {
-        "bigint": pa.int64(),
-        "string": pa.string(),
-    }[id_field.dataType.simpleString()]
-    out_schema = pa.schema(
-        [pa.field("doc", out_type), pa.field("simhash", pa.int64())]
-    )
-
+    id_dt = id_field.dataType.simpleString()
     pruned = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
 
     def gen(batches):
-        import zlib
+        from ._batch import poly_hash_batch
 
         for batch in batches:
             ids = batch.column(0)
             texts = batch.column(1).to_pylist()
-            out = np.empty(len(texts), dtype=np.int64)
+            m = len(texts)
+            out = np.zeros(m, dtype=np.int64)
+            doc_pos: list[int] = []
+            all_words: list[str] = []
+            bounds = [0]
             for i, t in enumerate(texts):
-                words = t.lower().split()
+                words = set(t.lower().split())
                 if not words:
-                    out[i] = 0
-                    continue
-                h32 = np.fromiter(
-                    (zlib.crc32((w + str(seed)).encode()) for w in set(words)),
-                    dtype=np.uint64,
-                )
-                # widen to 64 bits (splitmix-style)
-                h = (h32 * np.uint64(0x9E3779B97F4A7C15)) ^ (h32 << np.uint64(31))
-                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for k in np.nonzero(votes >= 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(k)
-                out[i] = np.int64(sig.astype(np.int64))
+                    continue  # empty doc keeps signature 0
+                doc_pos.append(i)
+                all_words.extend(words)
+                bounds.append(bounds[-1] + len(words))
+            if doc_pos:
+                h = _simhash_word_hashes(poly_hash_batch(all_words), seed)
+                starts = np.asarray(bounds[:-1], dtype=np.int64)
+                seg_len = np.diff(bounds).astype(np.int64)
+                sig = np.zeros(len(doc_pos), dtype=np.uint64)
+                for k in range(64):
+                    bit = ((h >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+                    ones = np.add.reduceat(bit, starts)
+                    sig |= np.where(
+                        2 * ones >= seg_len, np.uint64(1) << np.uint64(k), np.uint64(0)
+                    )
+                out[np.asarray(doc_pos)] = sig.view(np.int64)
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(out, type=pa.int64())], schema=out_schema
+                [ids, pa.array(out, type=pa.int64())], names=["doc", "simhash"]
             )
 
-    return pruned.mapInArrow(gen, f"doc {id_field.dataType.simpleString()}, simhash long")
+    return pruned.mapInArrow(gen, f"doc {id_dt}, simhash long")
+
+
+def _simhash_word_hashes(poly: np.ndarray, seed: int) -> np.ndarray:
+    """Seed-mix + splitmix64 finalizer: widens the ~30-bit polynomial
+    hash to 64 well-mixed bits (public splitmix64 constants)."""
+    h = poly.view(np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
 
 
 def simhash_candidate_pairs(
@@ -656,53 +665,138 @@ def embedding_similar_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.9,
+    n_blocks: int | None = None,
+    block_size: int = 4096,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs (exact, all-pairs).
+    """Cosine near-duplicate pairs (exact, all-pairs) — distributed
+    block-matrix form, nothing ever collects to the driver.
 
-    Plan shape: the (small) corpus matrix is broadcast once; each task
-    computes one row-block x full-matrix BLAS product and emits only the
-    pairs over threshold.  All-pairs cosine is inherently O(N^2) — at
-    corpus scale this exact form is the *verification* stage applied to
-    LSH candidates (ann.lsh_ann_topk / minhash_lsh_pairs generate the
-    candidates); here it doubles as the oracle-checkable exact operator.
+    Every vector gets a deterministic block id (hash mod B) and is
+    shuffled to each of its B block-pairs; one ``applyInPandas`` task per
+    block-pair computes a single block x block BLAS product and emits
+    only the pairs over threshold.  Per-task memory is O(2 x block_size
+    x dim) regardless of corpus size; total work is the inherent O(N^2)
+    of the exact problem, spread over B(B+1)/2 independent tasks.
+
+    At corpus scale the exact form is the *verification* stage —
+    ``embedding_lsh_neardup`` below is the LSH-bucketed production path
+    whose candidates this kernel verifies.  Here it doubles as the
+    oracle-checkable exact operator.
     """
-    import pyarrow as pa
+    import math
 
-    pdf = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v")).toPandas()
-    ids = pdf["doc"].to_numpy()
-    mat = np.vstack(pdf["v"].map(lambda x: np.asarray(x, dtype=np.float64)))
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    keep = nrm > 0
-    ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
-    unit = mat / nrm[:, None]
+    import pandas as pd
 
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((ids, unit))
-    n = len(ids)
-    block = 256
-    blocks = spark.range(0, (n + block - 1) // block, 1)
+    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(base.count() / block_size))
+    pair_structs = (
+        f"transform(sequence(0, {n_blocks - 1}), "
+        "j -> struct(least(blk, j) AS bi, greatest(blk, j) AS bj))"
+    )
+    replicated = (
+        base.withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("doc")), F.lit(n_blocks)).cast("int")
+        )
+        .select("doc", "v", "blk", F.explode(F.expr(pair_structs)).alias("p"))
+        .select("doc", "v", "blk", F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"))
+    )
 
-    def gen(batches):
-        b_ids, b_unit = bc.value
-        for batch in batches:
-            for blk in batch.column(0).to_numpy():
-                lo = int(blk) * block
-                hi = min(lo + block, len(b_ids))
-                sims = b_unit[lo:hi] @ b_unit.T  # BLAS
-                sims = np.round(sims, 4)
-                for i in range(lo, hi):
-                    row = sims[i - lo]
-                    js = np.nonzero((row >= threshold) & (b_ids > b_ids[i]))[0]
-                    if js.size:
-                        yield pa.RecordBatch.from_arrays(
-                            [
-                                pa.array(
-                                    np.full(js.size, b_ids[i]), type=pa.int64()
-                                ),
-                                pa.array(b_ids[js], type=pa.int64()),
-                                pa.array(row[js], type=pa.float64()),
-                            ],
-                            names=["doc_a", "doc_b", "cosine"],
-                        )
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["doc"].to_numpy()
+        blk = pdf["blk"].to_numpy()
+        mat = np.vstack(pdf["v"].map(lambda x: np.asarray(x, dtype=np.float64)))
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        keep = nrm > 0
+        ids, blk, mat, nrm = ids[keep], blk[keep], mat[keep], nrm[keep]
+        if not len(ids):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
+        unit = mat / nrm[:, None]
+        if bi == bj:
+            sims = np.round(unit @ unit.T, 4)
+            ii, jj = np.nonzero((sims >= threshold) & (ids[None, :] > ids[:, None]))
+            da, db, cos = ids[ii], ids[jj], sims[ii, jj]
+        else:
+            a = blk == bi
+            sims = np.round(unit[a] @ unit[~a].T, 4)
+            ii, jj = np.nonzero(sims >= threshold)
+            ia, ib = ids[a][ii], ids[~a][jj]
+            da, db = np.minimum(ia, ib), np.maximum(ia, ib)
+            cos = sims[ii, jj]
+        return pd.DataFrame({"doc_a": da, "doc_b": db, "cosine": cos})
 
-    return blocks.mapInArrow(gen, "doc_a long, doc_b long, cosine double")
+    return replicated.groupBy("bi", "bj").applyInPandas(
+        kernel, "doc_a long, doc_b long, cosine double"
+    )
+
+
+def embedding_lsh_neardup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n_planes: int = 16,
+    dim: int = 64,
+    bands: int = 8,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH bucketing
+    (vectorized matmul signatures, ann.lsh_features) -> banded candidate
+    equijoin -> exact cosine verification on candidates only.
+
+    ``n_planes`` sign bits are split into ``bands``; two vectors are
+    candidates when any band matches (same banding trick as MinHash-LSH:
+    more bands = higher recall, more candidates).  Recall < 1 by
+    construction — pinned against embedding_similar_pairs in tests.
+    Output columns and rounding match the exact operator, so the two are
+    interchangeable downstream.
+    """
+    from .ann import lsh_features
+
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    r = n_planes // bands
+    feats = lsh_features(df, vec_col, id_col, n_planes, dim).select(
+        F.col("nn_id").alias("doc"),
+        F.col("cvec").alias("v"),
+        F.col("cnrm").alias("nrm"),
+        "bucket",
+    )
+    band_keys = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
+        f"(shiftright(bucket, b * {r}) & {(1 << r) - 1}) AS key))"
+    )
+    banded = feats.select(
+        "doc", "v", "nrm", F.explode(band_keys).alias("bk")
+    ).select(
+        "doc", "v", "nrm",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.v").alias("va"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.v").alias("vb"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, z) -> acc + z)"
+    ) / (F.col("na") * F.col("nb"))
+    return (
+        cand.withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

@@ -228,21 +228,22 @@ def bloom_might_contain(sketch: Column | str, h1: Column, h2: Column) -> Column:
 
     @pandas_udf("boolean")
     def _f(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for buf, x, y in zip(s, a, b):
-            if buf is None:
-                out.append(None)
-                continue
-            bf = BloomFilter.from_bytes(bytes(buf))
-            out.append(
-                bool(
-                    bf.might_contain_hashes(
-                        np.array([x], dtype=np.int64),
-                        np.array([y], dtype=np.int64),
-                    )[0]
-                )
-            )
-        return pd.Series(out)
+        # probe joins repeat the same (broadcast) sketch across many rows:
+        # decode each distinct sketch ONCE per batch, then probe all of
+        # its rows through the vectorized kernel
+        out = pd.Series(np.zeros(len(s), dtype=object), index=s.index)
+        nulls = s.isna()
+        out[nulls] = None
+        groups = s[~nulls].groupby(s[~nulls].map(bytes)).groups
+        h1v = a.to_numpy(dtype=np.int64, na_value=0)
+        h2v = b.to_numpy(dtype=np.int64, na_value=0)
+        pos = {ix: i for i, ix in enumerate(s.index)}
+        for buf, idx in groups.items():
+            bf = BloomFilter.from_bytes(buf)
+            rows = np.fromiter((pos[i] for i in idx), dtype=np.int64)
+            hits = bf.might_contain_hashes(h1v[rows], h2v[rows])
+            out.iloc[rows] = [bool(x) for x in hits]
+        return out
 
     return _f(sketch, h1, h2)
 
@@ -290,15 +291,18 @@ def cms_point_query(sketch: Column | str, h: Column) -> Column:
 
     @pandas_udf("long")
     def _f(s: pd.Series, hh: pd.Series) -> pd.Series:
-        out = []
-        for buf, x in zip(s, hh):
-            if buf is None:
-                out.append(None)
-                continue
-            cms = CountMinSketch.from_bytes(bytes(buf))
-            out.append(
-                int(cms.point_query_hashes(np.array([x], dtype=np.int64))[0])
-            )
-        return pd.Series(out)
+        # one decode per distinct sketch per batch, vectorized probes
+        out = pd.Series(np.zeros(len(s), dtype=object), index=s.index)
+        nulls = s.isna()
+        out[nulls] = None
+        groups = s[~nulls].groupby(s[~nulls].map(bytes)).groups
+        hv = hh.to_numpy(dtype=np.int64, na_value=0)
+        pos = {ix: i for i, ix in enumerate(s.index)}
+        for buf, idx in groups.items():
+            cms = CountMinSketch.from_bytes(buf)
+            rows = np.fromiter((pos[i] for i in idx), dtype=np.int64)
+            ests = cms.point_query_hashes(hv[rows])
+            out.iloc[rows] = [int(x) for x in ests]
+        return out
 
     return _f(sketch, h)

@@ -93,8 +93,11 @@ def test_simhash(spark, docs):
     sigs = simhash_signatures(docs, "text", "doc_id").toPandas()
     s = {r["doc"]: int(r["simhash"]) for _, r in sigs.iterrows()}
     assert s[0] == s[1]  # identical
-    ham02 = bin(s[0] ^ s[2]).count("1")
-    ham05 = bin(s[0] ^ s[5]).count("1")
+    # mask before counting: int64 signatures are signed, and Python's
+    # bin() of a negative xor is sign-magnitude, not two's-complement
+    mask = (1 << 64) - 1
+    ham02 = bin((s[0] ^ s[2]) & mask).count("1")
+    ham05 = bin((s[0] ^ s[5]) & mask).count("1")
     assert ham02 < ham05  # near dup closer than unrelated
     assert ham02 <= 16
 
@@ -453,3 +456,126 @@ def test_checkpoint_manifest_pins_input_listing(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="n_epochs"):
         job3.run(resume=True)
+
+
+def test_simhash_golden_vs_python_reference(spark, docs):
+    """The vectorized SimHash must be bit-identical to a direct pure-
+    Python transcription of the definition (poly hash -> splitmix64 ->
+    majority vote) — pins the batch kernel against drift."""
+
+    def ref_simhash(text: str, seed: int = 11) -> int:
+        words = set(text.lower().split())
+        if not words:
+            return 0
+        mask = (1 << 64) - 1
+        votes = [0] * 64
+        for w in words:
+            h = 0
+            for ch in w:
+                h = (h * 31 + ord(ch)) % 1_000_000_007
+            h = (h + seed * 0x9E3779B97F4A7C15) & mask
+            h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & mask
+            h = h ^ (h >> 31)
+            for k in range(64):
+                votes[k] += 1 if (h >> k) & 1 else -1
+        sig = 0
+        for k in range(64):
+            if votes[k] >= 0:
+                sig |= 1 << k
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    got = {
+        r["doc"]: int(r["simhash"])
+        for r in simhash_signatures(docs, "text", "doc_id").collect()
+    }
+    expect = {
+        r["doc_id"]: ref_simhash(r["text"]) for r in docs.collect()
+    }
+    assert got == expect
+
+
+def test_embedding_block_matrix_distributed(spark):
+    """The exact pair kernel must (a) give identical results at any
+    block count and (b) never collect the corpus to the driver."""
+    from go_tdigest_spark.operators import embedding_similar_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 16)).astype(np.float32)
+    base[11] = base[10] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    base[57] = base[56] + 0.02 * rng.standard_normal(16).astype(np.float32)
+    base[80] = 0.0  # zero vector must be dropped, not NaN
+    pdf = pd.DataFrame(
+        {"vec_id": range(120), "embedding": [list(map(float, v)) for v in base]}
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    def canon(res):
+        return sorted(map(tuple, res.toPandas().itertuples(index=False)))
+
+    one = canon(embedding_similar_pairs(df, "embedding", "vec_id", 0.9, n_blocks=1))
+    four = canon(embedding_similar_pairs(df, "embedding", "vec_id", 0.9, n_blocks=4))
+    seven = canon(embedding_similar_pairs(df, "embedding", "vec_id", 0.9, n_blocks=7))
+    assert one == four == seven
+    got = {(a, b) for a, b, _ in one}
+    assert (10, 11) in got and (56, 57) in got
+
+    # exact truth from numpy
+    mat = base.astype(np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    keep = nrm > 0
+    unit = mat[keep] / nrm[keep][:, None]
+    ids = np.arange(120)[keep]
+    sims = np.round(unit @ unit.T, 4)
+    ii, jj = np.nonzero((sims >= 0.9) & (ids[None, :] > ids[:, None]))
+    expect = sorted(
+        (int(ids[i]), int(ids[j]), float(sims[i, j])) for i, j in zip(ii, jj)
+    )
+    assert one == expect
+
+
+def test_lsh_features_buckets_match_expression_form(spark):
+    """Vectorized matmul signatures must agree with the interpreted
+    expression twin (golden parity on real embedding data)."""
+    from go_tdigest_spark.operators.ann import lsh_features, lsh_signature_col
+
+    emb = table(spark, SF_TINY, "embeddings")
+    vec = emb.select(
+        "vec_id", lsh_signature_col("embedding", 8, 64).alias("bucket")
+    ).toPandas().set_index("vec_id")["bucket"]
+    fast = (
+        lsh_features(emb, "embedding", "vec_id", 8, 64)
+        .select("nn_id", "bucket")
+        .toPandas()
+        .set_index("nn_id")["bucket"]
+    )
+    assert len(fast) > 0
+    assert (vec.loc[fast.index] == fast).all()
+
+
+def test_embedding_lsh_neardup_recall(spark):
+    """LSH-bucketed near-dup must find the planted high-cosine pairs the
+    exact operator finds (recall pinned, not assumed)."""
+    from go_tdigest_spark.operators import (
+        embedding_lsh_neardup,
+        embedding_similar_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((100, 64)).astype(np.float32)
+    for i in range(0, 30, 2):  # 15 planted near-dup pairs
+        base[i + 1] = base[i] + 0.05 * rng.standard_normal(64).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(100), "embedding": [list(map(float, v)) for v in base]}
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    exact = embedding_similar_pairs(df, "embedding", "vec_id", 0.95).toPandas()
+    approx = embedding_lsh_neardup(
+        df, "embedding", "vec_id", threshold=0.95, n_planes=16, dim=64, bands=8
+    ).toPandas()
+    e = {(a, b) for a, b, _ in exact.itertuples(index=False)}
+    g = {(a, b) for a, b, _ in approx.itertuples(index=False)}
+    assert len(e) >= 15
+    assert g <= e  # verification: no false positives vs exact semantics
+    assert len(g & e) / len(e) >= 0.8  # banded recall on near-identical pairs
