@@ -150,15 +150,23 @@ def _q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+    # top-1 per key as a struct-max hash aggregate (map-side combine,
+    # no per-partition sort, skew-immune) — semantically identical to
+    # row_number()=1 over (price DESC, orderkey ASC): lexicographic
+    # struct max takes the highest price, then the lowest orderkey via
+    # the negated tiebreak
     orders = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    best = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(
+                F.col("o_totalprice"), (-F.col("o_orderkey")).alias("neg_key")
+            )
+        ).alias("top")
     )
-    ranked = orders.withColumn("rk", F.row_number().over(w))
-    return ranked.where(F.col("rk") == 1).select(
-        "o_custkey", "o_orderkey", "o_totalprice"
+    return best.select(
+        "o_custkey",
+        (-F.col("top.neg_key")).alias("o_orderkey"),
+        F.col("top.o_totalprice").alias("o_totalprice"),
     )
 
 
@@ -384,6 +392,22 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kll_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import kll_agg, kll_count, kll_quantile
+
+    li = table(spark, sf_dir, "lineitem")
+    sk = kll_agg(li, "l_extendedprice", by=["l_returnflag"], k=200)
+    # count/min/max are exact under KLL merge (tracked alongside the
+    # compactors), so the full scan -> partial -> tree merge pipeline is
+    # hash-checkable; p50 accuracy is bounds-gated in tests instead
+    return sk.select(
+        "l_returnflag",
+        kll_count("sketch").alias("n"),
+        kll_quantile("sketch", 0.0).alias("min_price"),
+        kll_quantile("sketch", 1.0).alias("max_price"),
+    )
+
+
 def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_tdigest_spark.operators import hll_agg, hll_estimate
 
@@ -469,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "kll_stats_lineitem": _q_kll_stats_lineitem,
         "hll_distinct_users": _q_hll_distinct_users,
         "cms_supplier_freq": _q_cms_supplier_freq,
         "bloom_membership": _q_bloom_membership,
@@ -633,6 +658,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg({T.quality_score_frag('text', 'duck')}), 4)
                        AS avg_quality
             FROM documents GROUP BY 1, 2
+        """,
+        "kll_stats_lineitem": """
+            SELECT l_returnflag,
+                   count(l_extendedprice) AS n,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "dedup_exact_documents": """
             SELECT source,

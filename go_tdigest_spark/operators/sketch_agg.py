@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
-from ..sketches import HLL, BloomFilter, CountMinSketch
+from ..sketches import HLL, KLL, BloomFilter, CountMinSketch
 
 
 def _hash_cols(cols: Sequence[str], seed_salt: int = 0):
@@ -246,6 +246,68 @@ def bloom_might_contain(sketch: Column | str, h1: Column, h2: Column) -> Column:
         return out
 
     return _f(sketch, h1, h2)
+
+
+# ------------------------------------------------------------------ KLL
+
+
+def kll_agg(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    k: int = 200,
+    fanin: int | None = 64,
+) -> DataFrame:
+    """Per-group KLL quantile sketch over ``value_col``.
+
+    Unlike the other sketches here, KLL consumes raw *values* (cast to
+    double JVM-side), not hashes — the same _generic_partials plumbing
+    carries them since the kernel only needs one numeric column.  The
+    t-digest remains the primary quantile sketch; KLL adds worst-case
+    rank-error guarantees (north rule lists both).
+    """
+    partials = _generic_partials(
+        df,
+        by,
+        [F.col(value_col).cast("double")],
+        lambda: KLL(k),
+        lambda s, c: s.update(c[0]),
+        notnull_cols=[value_col],
+    )
+    return _merge_stage(partials, by, KLL.from_bytes, fanin=fanin)
+
+
+def kll_quantile(sketch: Column | str, q: float) -> Column:
+    """Quantile estimate; q=0/1 are the exact tracked min/max (which is
+    what makes kll_agg oracle-checkable end to end)."""
+
+    @pandas_udf("double")
+    def _f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else KLL.from_bytes(bytes(b)).quantile(q)
+        )
+
+    return _f(sketch)
+
+
+def kll_cdf(sketch: Column | str, x: float) -> Column:
+    @pandas_udf("double")
+    def _f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else KLL.from_bytes(bytes(b)).cdf(x)
+        )
+
+    return _f(sketch)
+
+
+def kll_count(sketch: Column | str) -> Column:
+    @pandas_udf("long")
+    def _f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else KLL.from_bytes(bytes(b)).count
+        )
+
+    return _f(sketch)
 
 
 # ------------------------------------------------------------------ CMS

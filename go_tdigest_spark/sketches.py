@@ -20,7 +20,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["HLL", "BloomFilter", "CountMinSketch", "clz64"]
+__all__ = ["HLL", "BloomFilter", "CountMinSketch", "KLL", "clz64"]
 
 _U64 = np.uint64
 
@@ -149,6 +149,186 @@ class BloomFilter:
         out.bits = np.frombuffer(
             buf, dtype=np.uint8, count=n_bits // 8, offset=12
         ).copy()
+        return out
+
+
+class KLL:
+    """KLL quantile sketch (Karnin-Lang-Liberty, FOCS'16): a hierarchy of
+    compactors where level ``h`` holds items of weight ``2^h``; an
+    over-full level sorts its buffer and promotes every other item.
+
+    Complements the t-digest (the library's primary quantile sketch,
+    north rule names both): KLL gives *worst-case* rank-error guarantees
+    on any distribution, t-digest gives tighter tail accuracy.  Same
+    deployment shape: per-partition partials via _generic_partials,
+    associative merge, tree reduction.
+
+    Implementation notes:
+      - compaction parity alternates deterministically (``_flip``) rather
+        than by RNG — reproducible across runs and partitions; the
+        classic derandomized variant, error constants per the paper's
+        deterministic analysis remain O(1/k) at fixed height;
+      - weight is conserved exactly (odd buffers retain their last
+        element at the level), so total sketch weight == count;
+      - min/max/count are tracked exactly -> Quantile(0)/Quantile(1)/
+        count are exact, which is what makes the Spark aggregation
+        oracle-checkable (same trick the t-digest queries use).
+    """
+
+    MAGIC = b"KLL1"
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200) -> None:
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.compactors: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.count = 0
+        self.min = np.inf
+        self.max = -np.inf
+        self._flip = 0
+
+    # ------------------------------------------------------------ sizing
+
+    def _capacity(self, h: int) -> int:
+        depth = len(self.compactors) - h - 1
+        return max(2, int(np.ceil(self.k * (self.C**depth))))
+
+    def _size(self) -> int:
+        return sum(len(c) for c in self.compactors)
+
+    def _total_capacity(self) -> int:
+        return sum(self._capacity(h) for h in range(len(self.compactors)))
+
+    # ------------------------------------------------------------ update
+
+    def update(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.count += int(v.size)
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        self.compactors[0] = np.concatenate([self.compactors[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        while self._size() > self._total_capacity():
+            for h in range(len(self.compactors)):
+                if len(self.compactors[h]) > self._capacity(h):
+                    self._compact_level(h)
+                    break
+            else:
+                break
+
+    def _compact_level(self, h: int) -> None:
+        c = np.sort(self.compactors[h])
+        if h + 1 == len(self.compactors):
+            self.compactors.append(np.empty(0, dtype=np.float64))
+        if len(c) % 2:
+            # keep the odd element at this level: weight stays exact
+            leftover, c = c[-1:], c[:-1]
+        else:
+            leftover = np.empty(0, dtype=np.float64)
+        promoted = c[self._flip & 1 :: 2]
+        self._flip += 1
+        self.compactors[h] = leftover
+        self.compactors[h + 1] = np.concatenate(
+            [self.compactors[h + 1], promoted]
+        )
+
+    # ------------------------------------------------------------- merge
+
+    def merge(self, other: "KLL") -> "KLL":
+        if other.k != self.k:
+            raise ValueError("cannot merge KLLs with different k")
+        while len(self.compactors) < len(other.compactors):
+            self.compactors.append(np.empty(0, dtype=np.float64))
+        for h, c in enumerate(other.compactors):
+            if len(c):
+                self.compactors[h] = np.concatenate([self.compactors[h], c])
+        self.count += other.count
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        self._flip += other._flip
+        self._compress()
+        return self
+
+    # ------------------------------------------------------------ queries
+
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals, wts = [], []
+        for h, c in enumerate(self.compactors):
+            if len(c):
+                vals.append(c)
+                wts.append(np.full(len(c), 1 << h, dtype=np.int64))
+        if not vals:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q: float) -> float:
+        if self.count == 0:
+            return float("nan")
+        if q <= 0.0:
+            return float(self.min)
+        if q >= 1.0:
+            return float(self.max)
+        v, w = self._weighted_items()
+        cw = np.cumsum(w)
+        i = int(np.searchsorted(cw, q * cw[-1], side="left"))
+        return float(v[min(i, len(v) - 1)])
+
+    def cdf(self, x: float) -> float:
+        if self.count == 0:
+            return float("nan")
+        v, w = self._weighted_items()
+        i = int(np.searchsorted(v, x, side="right"))
+        total = int(w.sum())
+        return float(w[:i].sum() / total)
+
+    # -------------------------------------------------------------- serde
+
+    def to_bytes(self) -> bytes:
+        head = struct.pack(
+            "<iqddqi",
+            self.k,
+            self.count,
+            self.min,
+            self.max,
+            self._flip,
+            len(self.compactors),
+        )
+        parts = [self.MAGIC, head]
+        for c in self.compactors:
+            parts.append(struct.pack("<i", len(c)))
+            parts.append(np.asarray(c, dtype="<f8").tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "KLL":
+        if buf[:4] != cls.MAGIC:
+            raise ValueError("not a KLL payload")
+        k, count, mn, mx, flip, n_levels = struct.unpack_from("<iqddqi", buf, 4)
+        out = cls(k)
+        out.count = count
+        out.min = mn
+        out.max = mx
+        out._flip = flip
+        out.compactors = []
+        off = 4 + struct.calcsize("<iqddqi")
+        for _ in range(n_levels):
+            (n,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            out.compactors.append(
+                np.frombuffer(buf, dtype="<f8", count=n, offset=off).copy()
+            )
+            off += 8 * n
+        if off != len(buf):
+            raise ValueError("trailing bytes in KLL payload")
         return out
 
 

@@ -1,3 +1,3 @@
-from .tables import TABLE_NAMES, load_tables, table
+from .tables import TABLE_NAMES, load_tables, read_table, table
 
-__all__ = ["TABLE_NAMES", "load_tables", "table"]
+__all__ = ["TABLE_NAMES", "load_tables", "read_table", "table"]

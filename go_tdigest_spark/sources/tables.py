@@ -28,8 +28,41 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def read_table(
+    spark: SparkSession, path_or_ident: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Format-parameterized scan: the promised production source is an
+    Iceberg catalog table (north rule), the test fixtures are parquet —
+    both route through the same DataSource V2 reader, so every operator
+    downstream keeps Catalyst pushdown/pruning/partition-pruning either
+    way.
+
+    ``fmt='iceberg'`` expects ``path_or_ident`` as a catalog identifier
+    (``catalog.db.table``) and requires the iceberg-spark-runtime jar on
+    the classpath; any other fmt is treated as a file-source path.
+    Raises a clear error when the Iceberg runtime is absent (the sandbox
+    ships no jars — the iceberg test skips itself in that case).
+    """
+    if fmt == "iceberg":
+        try:
+            return spark.read.format("iceberg").load(path_or_ident)
+        except Exception as e:  # noqa: BLE001
+            if "Failed to find" in str(e) or "ClassNotFound" in str(e):
+                raise RuntimeError(
+                    "iceberg-spark-runtime jar not on the classpath; add "
+                    "spark.jars.packages=org.apache.iceberg:"
+                    "iceberg-spark-runtime-<ver> or read parquet instead"
+                ) from e
+            raise
+    return spark.read.format(fmt).load(path_or_ident)
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"
+) -> DataFrame:
+    if fmt == "iceberg":
+        return read_table(spark, f"{sf_dir}.{name}", fmt="iceberg")
+    return read_table(spark, os.path.join(sf_dir, f"{name}.{fmt}"), fmt=fmt)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict:

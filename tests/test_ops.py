@@ -579,3 +579,41 @@ def test_embedding_lsh_neardup_recall(spark):
     assert len(e) >= 15
     assert g <= e  # verification: no false positives vs exact semantics
     assert len(g & e) / len(e) >= 0.8  # banded recall on near-identical pairs
+
+
+def _iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_read_table_parquet_path(spark, tmp_path):
+    """The source layer is format-parameterized; parquet exercises the
+    full scan path (and a missing iceberg runtime raises a clear error
+    instead of an opaque ClassNotFound)."""
+    from go_tdigest_spark.sources import read_table
+
+    li = table(spark, SF_TINY, "lineitem").select("l_returnflag", "l_extendedprice")
+    p = str(tmp_path / "t.parquet")
+    li.write.parquet(p)
+    back = read_table(spark, p, fmt="parquet")
+    assert back.count() == li.count()
+
+    if not _iceberg_available(spark):
+        with pytest.raises(Exception):
+            read_table(spark, "nocat.db.t", fmt="iceberg")
+
+
+def test_read_table_iceberg(spark):
+    """Runs iff the iceberg-spark-runtime jar is present (the sandbox
+    ships none — skip, not fake)."""
+    from go_tdigest_spark.sources import read_table
+
+    if not _iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime jar not on classpath")
+    ice = read_table(spark, "local.db.lineitem", fmt="iceberg")
+    assert ice.count() >= 0

@@ -294,3 +294,105 @@ def test_cms_rejects_nonpositive_and_float_counts(spark):
     df = spark.createDataFrame([("a", 1.5)], "k string, w double")
     with pytest.raises(TypeError):
         cms_agg(df, ["k"], weight_col="w")
+
+
+# ------------------------------------------------------------------ KLL
+
+
+def test_kll_rank_error_and_exact_tracking():
+    from go_tdigest_spark.sketches import KLL
+
+    rng = np.random.default_rng(1)
+    for data in (
+        rng.uniform(0, 1, 200_000),
+        rng.lognormal(0, 2, 200_000),
+        np.arange(200_000, dtype=float),
+    ):
+        k = KLL(200)
+        for chunk in np.array_split(data, 37):
+            k.update(chunk)
+        s = np.sort(data)
+        for q in np.arange(0.05, 1.0, 0.05):
+            rank = np.searchsorted(s, k.quantile(q)) / len(s)
+            assert abs(rank - q) <= 0.01  # k=200 -> ~1/k worst-case
+        assert k.count == len(data)
+        assert k.quantile(0.0) == s[0] and k.quantile(1.0) == s[-1]
+        v, w = k._weighted_items()
+        assert int(w.sum()) == k.count  # weight conservation is exact
+        # cdf is monotone and hits the exact endpoints
+        assert k.cdf(s[0] - 1) == 0.0 and k.cdf(s[-1]) == 1.0
+
+
+def test_kll_merge_permutation_and_serde():
+    import random
+
+    from go_tdigest_spark.sketches import KLL
+
+    rng = np.random.default_rng(2)
+    data = rng.lognormal(0, 1, 300_000)
+    parts = np.array_split(data, 64)
+
+    def build(order):
+        ks = []
+        for i in order:
+            kk = KLL(200)
+            kk.update(parts[i])
+            ks.append(kk)
+        m = ks[0]
+        for kk in ks[1:]:
+            m.merge(kk)
+        return m
+
+    s = np.sort(data)
+    order = list(range(64))
+    random.Random(5).shuffle(order)
+    for m in (build(list(range(64))), build(order)):
+        assert m.count == len(data)
+        for q in np.arange(0.05, 1.0, 0.05):
+            rank = np.searchsorted(s, m.quantile(q)) / len(s)
+            assert abs(rank - q) <= 0.015  # merged bound, both orders
+
+    m = build(list(range(64)))
+    r = KLL.from_bytes(m.to_bytes())
+    assert r.to_bytes() == m.to_bytes()
+    assert r.count == m.count and r.quantile(0.5) == m.quantile(0.5)
+    with pytest.raises(ValueError):
+        KLL.from_bytes(m.to_bytes() + b"x")
+    with pytest.raises(ValueError):
+        KLL.from_bytes(b"NOPE" + m.to_bytes()[4:])
+    with pytest.raises(ValueError):
+        KLL(200).merge(KLL(100))
+
+
+def test_kll_agg_spark_vs_duckdb(spark):
+    import duckdb
+
+    from go_tdigest_spark.operators import kll_agg, kll_count, kll_quantile
+
+    li = table(spark, SF_TINY, "lineitem")
+    sk = kll_agg(li, "l_extendedprice", by=["l_returnflag"], k=200)
+    got = sk.select(
+        "l_returnflag",
+        kll_count("sketch").alias("n"),
+        kll_quantile("sketch", 0.0).alias("mn"),
+        kll_quantile("sketch", 0.5).alias("p50"),
+        kll_quantile("sketch", 1.0).alias("mx"),
+    ).toPandas().set_index("l_returnflag")
+
+    truth = duckdb.sql(
+        "SELECT l_returnflag, count(*) AS n, min(l_extendedprice) AS mn, "
+        "max(l_extendedprice) AS mx "
+        "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
+        "GROUP BY 1"
+    ).fetchdf().set_index("l_returnflag")
+    vals = duckdb.sql(
+        "SELECT l_returnflag, list(l_extendedprice ORDER BY l_extendedprice) v "
+        "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') GROUP BY 1"
+    ).fetchdf().set_index("l_returnflag")
+
+    for flag, row in got.iterrows():
+        t = truth.loc[flag]
+        assert row["n"] == t["n"] and row["mn"] == t["mn"] and row["mx"] == t["mx"]
+        s = np.asarray(vals.loc[flag]["v"])
+        rank = np.searchsorted(s, row["p50"]) / len(s)
+        assert abs(rank - 0.5) <= 0.015

@@ -322,3 +322,53 @@ def test_salted_merge_bounds_fanin_under_skew(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         merge_partials(partials, ["k"], fanin=1)
+
+
+def test_driver_rows_only_queries_bounds_gated(spark):
+    """td_quantiles_lineitem / td_cdf_events can't hash-match an exact
+    oracle (sketch estimates) — this is their affirmative evidence: the
+    driver's own callables, checked against DuckDB's exact
+    quantile_cont / rank-CDF within the t-digest bound at the driver's
+    sf.  Rank-space eps 0.015 mirrors the reference's published bound
+    (~1/compression mid-range, tighter at tails)."""
+    import duckdb
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    qs = entry.queries()
+
+    got = qs["td_quantiles_lineitem"](spark, sf).toPandas().set_index("l_returnflag")
+    vals = duckdb.sql(
+        "SELECT l_returnflag, list(l_extendedprice ORDER BY l_extendedprice) v "
+        f"FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1"
+    ).fetchdf().set_index("l_returnflag")
+    for flag, row in got.iterrows():
+        s = np.asarray(vals.loc[flag]["v"], dtype=float)
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            rank = np.searchsorted(s, row[col]) / len(s)
+            assert abs(rank - q) <= 0.015, (flag, col, rank)
+
+    got = qs["td_cdf_events"](spark, sf).toPandas().set_index("event_type")
+    truth = duckdb.sql(
+        "SELECT event_type, "
+        "avg(CASE WHEN value <= 10 THEN 1.0 ELSE 0.0 END) AS cdf_10, "
+        "avg(CASE WHEN value <= 100 THEN 1.0 ELSE 0.0 END) AS cdf_100 "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        "WHERE value IS NOT NULL GROUP BY 1"
+    ).fetchdf().set_index("event_type")
+    for et, row in got.iterrows():
+        t = truth.loc[et]
+        assert abs(row["cdf_10"] - t["cdf_10"]) <= 0.015
+        assert abs(row["cdf_100"] - t["cdf_100"]) <= 0.015
+        # interquartile mean sits inside the exact [p25, p75] value range
+    vals = duckdb.sql(
+        "SELECT event_type, "
+        "quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.75) AS p75 "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+    ).fetchdf().set_index("event_type")
+    for et, row in got.iterrows():
+        t = vals.loc[et]
+        assert t["p25"] - 1e-9 <= row["iqm"] <= t["p75"] + 1e-9
