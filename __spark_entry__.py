@@ -643,13 +643,16 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_mktsegment
         """,
+        # text queries operate over non-NULL documents on BOTH sides
+        # (text_features prunes nulls before the Arrow batch; the oracle
+        # must state the same filter, not pass by fixture coincidence)
         "text_stats": f"""
             SELECT doc_id,
                    {T.token_count_frag_duck('text')} AS n_tokens,
                    {T.lang_id_frag('text', 'duck')} AS lang_guess,
                    {T.fingerprint_frag('text', 'duck')} AS fingerprint,
                    {T.quality_score_frag('text', 'duck')} AS quality
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         """,
         "text_summary": f"""
             SELECT source,
@@ -657,7 +660,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(avg({T.quality_score_frag('text', 'duck')}), 4)
                        AS avg_quality
-            FROM documents GROUP BY 1, 2
+            FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
         """,
         "kll_stats_lineitem": """
             SELECT l_returnflag,

@@ -168,6 +168,13 @@ def text_features(df, text_col: str, id_col: str, extra_cols: tuple = ()):
     import pyarrow as pa
 
     extra_cols = tuple(extra_cols)
+    reserved = {"doc_id", "n_tokens", "lang_guess", "fingerprint", "_q_raw",
+                "quality", id_col, text_col}
+    bad = [c for c in extra_cols if c in reserved or extra_cols.count(c) > 1]
+    if bad:
+        raise ValueError(
+            f"extra_cols collide with output/input column names: {sorted(set(bad))}"
+        )
     id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
     extra_dts = [
         df.select(c).schema.fields[0].dataType.simpleString() for c in extra_cols

@@ -35,19 +35,36 @@ def tree_merge(
     schema: StructType,
     merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
     fanin: int | None,
+    n_units: int | None = None,
 ) -> DataFrame:
     """Merge partial rows to one row per group.
 
     ``merge_fn(pdf) -> pdf`` must emit exactly one row with the columns of
     ``schema`` (it may receive extra columns, e.g. the salt — select what
     it needs).  ``fanin=None`` disables salting (single-level merge).
+
+    ``n_units``: upper bound on partials per group.  The default (None)
+    assumes the stage-1 builder invariant — at most one partial per
+    (input partition, group), true for mapInArrow builder output — and
+    sizes/salts level 0 by partition id (hard bound).  Partials read
+    back FROM STORAGE break that invariant (the parquet reader packs
+    many small files into one partition), so those callers must pass the
+    actual partial row count: level 0 then salts by a hash of a unique
+    row id (uniform in expectation over >= fanin rows per salt), and
+    every later level re-buckets the carried salt deterministically
+    (hard bound again, since level 0 leaves one row per (group, salt)).
     """
     by = list(by)
     columns = [f.name for f in schema.fields]
     if fanin is not None and fanin < 2:
         raise ValueError("fanin must be >= 2")
 
-    n_parts = partials.rdd.getNumPartitions() if fanin else 0
+    if not fanin:
+        n_parts = 0
+    elif n_units is not None:
+        n_parts = n_units
+    else:
+        n_parts = partials.rdd.getNumPartitions()
     if fanin:
         salted_schema = StructType(
             [StructField("_salt", LongType(), False)] + list(schema.fields)
@@ -62,16 +79,23 @@ def tree_merge(
         first = True
         while n_parts > fanin:
             n_salts = int(math.ceil(n_parts / fanin))
-            if first:
+            if first and n_units is not None:
+                # storage-read partials: rows per (partition, group) are
+                # unbounded, so spread by hashed unique row id instead
+                salt = F.pmod(
+                    F.xxhash64(F.monotonically_increasing_id()),
+                    F.lit(n_salts),
+                ).cast("long")
+            elif first:
                 # hard bound: partition ids 0..P-1 map round-robin onto
                 # salts, and each input partition holds <=1 partial/group
                 salt = (F.spark_partition_id() % F.lit(n_salts)).cast("long")
-                first = False
             else:
                 # hard bound: previous level left exactly one row per
                 # (group, salt<n_parts); consecutive-salt blocks of size
                 # `fanin` collapse into one reducer
                 salt = F.floor(F.col("_salt") / F.lit(fanin)).cast("long")
+            first = False
             partials = (
                 partials.withColumn("_salt", salt)
                 .groupBy(*(by + ["_salt"]))

@@ -216,6 +216,7 @@ def merge_partials(
     partials: DataFrame,
     by: Sequence[str] = (),
     fanin: int | None = None,
+    n_units: int | None = None,
 ) -> DataFrame:
     """Stage 2: tree-merge partial digests down to one row per group.
 
@@ -223,6 +224,10 @@ def merge_partials(
     per-level bound at every level (level 0 via partition-id round-robin,
     later levels via deterministic salt re-bucketing; see _tree.py).  At
     100k input partitions and fanin=64 that is 100k -> 1563 -> 25 -> final.
+
+    Pass ``n_units`` = partial row count when the partials were read back
+    from storage (the <=1-partial-per-partition-per-group invariant does
+    not survive the parquet reader's file packing; see _tree.py).
     """
     from ._tree import tree_merge
 
@@ -237,7 +242,7 @@ def merge_partials(
     )
     columns = [f.name for f in schema.fields]
     merge = _merge_partials_fn(by, columns)
-    return tree_merge(partials, by, schema, merge, fanin)
+    return tree_merge(partials, by, schema, merge, fanin, n_units=n_units)
 
 
 def tdigest_agg(

@@ -689,6 +689,10 @@ def embedding_similar_pairs(
 
     base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
     if n_blocks is None:
+        # NB: deriving the default block count costs one count() action
+        # over the input lineage (negligible next to the O(N^2) kernel,
+        # but re-executes upstream transforms) — pass n_blocks explicitly
+        # when the input is an expensive uncached pipeline
         n_blocks = max(1, math.ceil(base.count() / block_size))
     pair_structs = (
         f"transform(sequence(0, {n_blocks - 1}), "

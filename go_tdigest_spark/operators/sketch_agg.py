@@ -230,11 +230,13 @@ def bloom_might_contain(sketch: Column | str, h1: Column, h2: Column) -> Column:
     def _f(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
         # probe joins repeat the same (broadcast) sketch across many rows:
         # decode each distinct sketch ONCE per batch, then probe all of
-        # its rows through the vectorized kernel
+        # its rows through the vectorized kernel.  NULL sketch or NULL
+        # probe hash -> NULL result (SQL semantics), never a probe of 0
         out = pd.Series(np.zeros(len(s), dtype=object), index=s.index)
-        nulls = s.isna()
+        nulls = s.isna() | a.isna() | b.isna()
         out[nulls] = None
-        groups = s[~nulls].groupby(s[~nulls].map(bytes)).groups
+        live = s[~nulls]
+        groups = live.groupby(live.map(bytes)).groups
         h1v = a.to_numpy(dtype=np.int64, na_value=0)
         h2v = b.to_numpy(dtype=np.int64, na_value=0)
         pos = {ix: i for i, ix in enumerate(s.index)}
@@ -265,11 +267,16 @@ def kll_agg(
     carries them since the kernel only needs one numeric column.  The
     t-digest remains the primary quantile sketch; KLL adds worst-case
     rank-error guarantees (north rule lists both).
+
+    NULL and NaN values are excluded JVM-side (the reference rejects NaN
+    on insert, summary.go:27-29) — so ``n_rows`` equals the sketch count
+    and count/min/max stay oracle-exact over the non-NaN values.
     """
+    v = F.col(value_col).cast("double")
     partials = _generic_partials(
-        df,
+        df.where(~F.isnan(v)),
         by,
-        [F.col(value_col).cast("double")],
+        [v],
         lambda: KLL(k),
         lambda s, c: s.update(c[0]),
         notnull_cols=[value_col],
@@ -323,15 +330,31 @@ def cms_agg(
     fanin: int | None = 64,
 ) -> DataFrame:
     if weight_col is not None:
-        wf = {f.name: f for f in df.schema.fields}.get(weight_col)
-        if wf is None:
+        from pyspark.sql.types import (
+            ByteType,
+            DecimalType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        # case-insensitive lookup: Spark column resolution is
+        # case-insensitive by default, the gate must match it
+        matches = [
+            f for f in df.schema.fields if f.name.lower() == weight_col.lower()
+        ]
+        if not matches:
             raise ValueError(f"weight column {weight_col!r} not in DataFrame")
-        if wf.dataType.simpleString() not in ("tinyint", "smallint", "int", "bigint"):
+        dt = matches[0].dataType
+        integral = isinstance(
+            dt, (ByteType, ShortType, IntegerType, LongType)
+        ) or (isinstance(dt, DecimalType) and dt.scale == 0)
+        if not integral:
             # CMS counters are integers; silently truncating float weights
             # (or accepting <=0) would break the overcount-only invariant
             raise TypeError(
                 f"cms_agg weight column must be integral, got "
-                f"{wf.dataType.simpleString()} — cast explicitly"
+                f"{dt.simpleString()} — cast explicitly"
             )
     partials = _generic_partials(
         df,
@@ -353,11 +376,13 @@ def cms_point_query(sketch: Column | str, h: Column) -> Column:
 
     @pandas_udf("long")
     def _f(s: pd.Series, hh: pd.Series) -> pd.Series:
-        # one decode per distinct sketch per batch, vectorized probes
+        # one decode per distinct sketch per batch, vectorized probes;
+        # NULL sketch or NULL probe hash -> NULL (SQL semantics)
         out = pd.Series(np.zeros(len(s), dtype=object), index=s.index)
-        nulls = s.isna()
+        nulls = s.isna() | hh.isna()
         out[nulls] = None
-        groups = s[~nulls].groupby(s[~nulls].map(bytes)).groups
+        live = s[~nulls]
+        groups = live.groupby(live.map(bytes)).groups
         hv = hh.to_numpy(dtype=np.int64, na_value=0)
         pos = {ix: i for i, ix in enumerate(s.index)}
         for buf, idx in groups.items():

@@ -82,17 +82,31 @@ class CheckpointedSketchJob:
         fs = mpath.getFileSystem(conf)
         live = self._live_epoch_files()
         if not fs.exists(mpath):
+            # write-then-rename: a crash mid-write must never leave a
+            # truncated manifest at the final path (rename is atomic on
+            # HDFS; on object stores it still publishes a complete object)
             payload = json.dumps({"n_epochs": self.n_epochs, "epochs": live})
-            out = fs.create(mpath, True)
+            tpath = jvm.org.apache.hadoop.fs.Path(
+                self._manifest_path() + ".tmp"
+            )
+            out = fs.create(tpath, True)
             out.write(bytearray(payload.encode("utf-8")))
             out.close()
+            if not fs.rename(tpath, mpath):
+                raise IOError(f"failed to publish manifest at {mpath}")
             return live
         stream = fs.open(mpath)
         try:
             text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         finally:
             stream.close()
-        stored = json.loads(text)
+        try:
+            stored = json.loads(text)
+        except ValueError as e:
+            raise ValueError(
+                f"corrupt checkpoint manifest {self._manifest_path()} "
+                f"({e}); delete the checkpoint dir to restart from scratch"
+            ) from e
         if stored["n_epochs"] != self.n_epochs:
             raise ValueError(
                 f"checkpoint manifest was written with n_epochs="
@@ -190,7 +204,11 @@ class CheckpointedSketchJob:
         # into results (_SUCCESS is the commit record on the read path too)
         partials = self.spark.read.parquet(*self._committed_dirs())
         cols = self.by + ["digest", "n_rows", "total_weight"]
-        return merge_partials(partials.select(*cols), self.by, fanin=self.fanin)
+        sel = partials.select(*cols)
+        # storage-read partials: size the tree by partial count, not scan
+        # partitions (see _tree.py); parquet count() is metadata-only
+        n_units = sel.count() if self.fanin else None
+        return merge_partials(sel, self.by, fanin=self.fanin, n_units=n_units)
 
     # ----------------------------------------------------------- lineage
 

@@ -100,7 +100,11 @@ def read_stream_digests(
         .parquet(*dirs)
         .select(*by, "digest", "n_rows", "total_weight")
     )
-    return merge_partials(partials, by, fanin=fanin)
+    # storage-read partials: one scan partition can hold MANY partials
+    # per group (small-file packing), so size the merge tree by the
+    # actual partial count (parquet count() is footer-metadata only)
+    n_units = partials.count() if fanin else None
+    return merge_partials(partials, by, fanin=fanin, n_units=n_units)
 
 
 def tdigest_windowed_stream_writer(

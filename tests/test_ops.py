@@ -617,3 +617,71 @@ def test_read_table_iceberg(spark):
         pytest.skip("iceberg-spark-runtime jar not on classpath")
     ice = read_table(spark, "local.db.lineitem", fmt="iceberg")
     assert ice.count() >= 0
+
+
+def test_text_nulls_consistent_with_oracle_contract(spark):
+    """text_features drops NULL-text rows; the driver oracles must state
+    the same filter (they do — static check) so the contract never rests
+    on fixtures happening to contain no NULLs."""
+    import __spark_entry__ as entry
+
+    rows = [(0, "the and of it", "web"), (1, None, "web"), (2, "x", "code")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    feats = T.text_features(df, "text", "doc_id", extra_cols=("source",))
+    assert feats.count() == 2  # NULL text excluded
+    for name in ("text_stats", "text_summary"):
+        assert "text IS NOT NULL" in entry.oracle_sql()[name]
+
+    with pytest.raises(ValueError, match="collide"):
+        T.text_features(df, "text", "doc_id", extra_cols=("fingerprint",))
+    with pytest.raises(ValueError, match="collide"):
+        T.text_features(df, "text", "doc_id", extra_cols=("source", "source"))
+
+
+def test_corrupt_manifest_fails_with_guidance(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "input")
+    li = table(spark, SF_TINY, "lineitem").select("l_returnflag", "l_extendedprice")
+    li.repartition(2).write.parquet(src)
+    os.makedirs(ckpt, exist_ok=True)
+    with open(os.path.join(ckpt, "manifest.json"), "w") as f:
+        f.write('{"n_epochs": 2, "epo')  # torn write
+    job = CheckpointedSketchJob(
+        spark, src, "l_extendedprice", ["l_returnflag"], ckpt, n_epochs=2
+    )
+    with pytest.raises(ValueError, match="corrupt checkpoint manifest"):
+        job.run()
+
+
+def test_stream_merge_tree_sized_by_partial_count(spark, tmp_path):
+    """Partials read from storage pack many rows per scan partition —
+    the merge tree must size itself by partial COUNT (salted levels
+    appear even when the scan has few partitions) and stay exact."""
+    from go_tdigest_spark.operators.aggregate import build_partials
+
+    state = str(tmp_path / "state")
+    li = table(spark, SF_TINY, "lineitem").select("l_returnflag", "l_extendedprice")
+    for b in range(3):
+        build_partials(li.repartition(16), "l_extendedprice", ["l_returnflag"]) \
+            .coalesce(1).write.parquet(f"{state}/batch_id={b}")
+
+    merged = read_stream_digests(spark, state, ["l_returnflag"], fanin=4)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # 3 batches x 16 partitions x up-to-3 groups of partials arrive in a
+    # couple of scan partitions; count-based sizing must still insert
+    # salted levels ahead of the final merge
+    assert plan.count("FlatMapGroupsInPandas") >= 3
+
+    out = merged.toPandas()
+    total = li.count()
+    assert int(out["n_rows"].sum()) == 3 * total
+    expect = {
+        r["l_returnflag"]: (r["mn"], r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx"))
+        .collect()
+    }
+    for _, row in out.iterrows():
+        d = serde.decode(bytes(row["digest"]))
+        mn, mx = expect[row["l_returnflag"]]
+        assert d.quantile(0.0) == mn and d.quantile(1.0) == mx

@@ -396,3 +396,61 @@ def test_kll_agg_spark_vs_duckdb(spark):
         s = np.asarray(vals.loc[flag]["v"])
         rank = np.searchsorted(s, row["p50"]) / len(s)
         assert abs(rank - 0.5) <= 0.015
+
+
+def test_probe_udfs_null_semantics(spark):
+    """NULL sketch or NULL probe hash must yield NULL, never a probe of
+    hash 0 (a false membership / wrong count)."""
+    from go_tdigest_spark.operators.sketch_agg import (
+        bloom_might_contain,
+        cms_point_query,
+    )
+
+    bf = BloomFilter(1 << 10, 3)
+    bf.update_hashes(
+        np.array([1, 2], dtype=np.int64), np.array([11, 12], dtype=np.int64)
+    )
+    cms = CountMinSketch(3, 256)
+    cms.update_hashes(np.array([5, 5, 7], dtype=np.int64))
+
+    df = spark.createDataFrame(
+        [(bf.to_bytes(), cms.to_bytes(), 1, 11), (bf.to_bytes(), cms.to_bytes(), None, None), (None, None, 1, 11)],
+        "bl binary, cm binary, h1 long, h2 long",
+    )
+    out = df.select(
+        bloom_might_contain("bl", F.col("h1"), F.col("h2")).alias("maybe"),
+        cms_point_query("cm", F.col("h1")).alias("freq"),
+    ).collect()
+    assert out[0]["maybe"] is True
+    assert out[1]["maybe"] is None and out[1]["freq"] is None
+    assert out[2]["maybe"] is None and out[2]["freq"] is None
+
+
+def test_kll_agg_nan_and_cms_gate_case_insensitive(spark):
+    from go_tdigest_spark.operators import kll_agg, kll_count, kll_quantile
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan")), ("a", 3.0), ("a", None)],
+        "g string, v double",
+    )
+    row = (
+        kll_agg(df, "v", by=["g"])
+        .select(
+            kll_count("sketch").alias("n"),
+            kll_quantile("sketch", 0.0).alias("mn"),
+            kll_quantile("sketch", 1.0).alias("mx"),
+            "n_rows",
+        )
+        .collect()[0]
+    )
+    # NaN and NULL both excluded JVM-side: sketch count == n_rows
+    assert row["n"] == row["n_rows"] == 2
+    assert row["mn"] == 1.0 and row["mx"] == 3.0
+
+    # weight gate resolves names case-insensitively and accepts
+    # zero-scale decimals (both valid Spark resolutions)
+    d2 = spark.createDataFrame([("a", 2)], "k string, Quantity long").withColumn(
+        "DecW", F.col("Quantity").cast("decimal(10,0)")
+    )
+    cms_agg(d2, ["k"], weight_col="quantity").collect()
+    cms_agg(d2, ["k"], weight_col="decw").collect()
