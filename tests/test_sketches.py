@@ -454,3 +454,56 @@ def test_kll_agg_nan_and_cms_gate_case_insensitive(spark):
     )
     cms_agg(d2, ["k"], weight_col="quantity").collect()
     cms_agg(d2, ["k"], weight_col="decw").collect()
+
+
+def test_driver_sketch_queries_bounds_gated(spark):
+    """hll_distinct_users / cms_supplier_freq / bloom_membership are
+    rows-only in the driver (estimates can't hash-match) — this is their
+    affirmative evidence: the driver's own callables checked against
+    exact answers at the driver's sf, within each sketch's bound."""
+    import sys, os
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    qs = entry.queries()
+
+    # HLL: p=12 -> relative error ~1.04/sqrt(4096) ~ 1.6%; allow 5%
+    got = qs["hll_distinct_users"](spark, sf).toPandas().set_index("event_type")
+    truth = duckdb.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS d "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+    ).fetchdf().set_index("event_type")["d"]
+    for et, row in got.iterrows():
+        assert abs(row["approx_distinct_users"] - truth[et]) / truth[et] <= 0.05
+
+    # CMS: overcount-only, bounded by eps*total with eps = e/w
+    got = qs["cms_supplier_freq"](spark, sf).toPandas().set_index("l_suppkey")
+    freq = duckdb.sql(
+        "SELECT l_suppkey, count(*) AS f "
+        f"FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1"
+    ).fetchdf().set_index("l_suppkey")["f"]
+    total = int(freq.sum())
+    for sk, row in got.iterrows():
+        exact = int(freq[sk])
+        assert row["approx_freq"] >= exact  # never undercounts
+        assert row["approx_freq"] <= exact + (np.e / 4096) * total
+
+    # Bloom: no false negatives — every probed custkey that truly has an
+    # order in the status group must report membership
+    got = qs["bloom_membership"](spark, sf).toPandas().set_index("o_orderstatus")
+    probed = duckdb.sql(
+        f"SELECT c_custkey FROM read_parquet('{sf}/customer.parquet') "
+        "ORDER BY c_custkey LIMIT 100"
+    ).fetchdf()["c_custkey"]
+    truth = duckdb.sql(
+        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS m "
+        f"FROM read_parquet('{sf}/orders.parquet') "
+        f"WHERE o_custkey IN ({','.join(map(str, probed))}) GROUP BY 1"
+    ).fetchdf().set_index("o_orderstatus")["m"]
+    for st, row in got.iterrows():
+        assert row["approx_members"] >= truth[st]  # no false negatives
+        assert row["approx_members"] <= 100  # sane upper bound
