@@ -133,6 +133,7 @@ def _merge_stage(
     by: Sequence[str],
     decode: Callable[[bytes], object],
     fanin: int | None = 64,
+    n_units: int | None = None,
 ) -> DataFrame:
     """Tree-merge sketch partials with bounded reducer fan-in.
 
@@ -165,10 +166,25 @@ def _merge_stage(
         ]
         return pd.DataFrame([row], columns=columns)
 
-    return tree_merge(partials, by, schema, merge, fanin)
+    return tree_merge(partials, by, schema, merge, fanin, n_units=n_units)
 
 
 # ------------------------------------------------------------------ HLL
+
+
+def hll_partials(
+    df: DataFrame, cols: Sequence[str], by: Sequence[str] = (), p: int = 12
+) -> DataFrame:
+    """Stage 1 only (one HLL per partition x group) — the building block
+    for batch aggregation and streaming append-partials alike."""
+    return _generic_partials(
+        df,
+        by,
+        [_hash_cols(cols)],
+        lambda: HLL(p),
+        lambda s, c: s.update_hashes(c[0]),
+        notnull_cols=cols,
+    )
 
 
 def hll_agg(
@@ -179,15 +195,7 @@ def hll_agg(
     fanin: int | None = 64,
 ) -> DataFrame:
     """Distinct-count sketch of the tuple ``cols`` per group."""
-    partials = _generic_partials(
-        df,
-        by,
-        [_hash_cols(cols)],
-        lambda: HLL(p),
-        lambda s, c: s.update_hashes(c[0]),
-        notnull_cols=cols,
-    )
-    return _merge_stage(partials, by, HLL.from_bytes, fanin=fanin)
+    return _merge_stage(hll_partials(df, cols, by, p), by, HLL.from_bytes, fanin=fanin)
 
 
 def hll_estimate(sketch: Column | str) -> Column:

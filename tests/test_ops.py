@@ -685,3 +685,63 @@ def test_stream_merge_tree_sized_by_partial_count(spark, tmp_path):
         d = serde.decode(bytes(row["digest"]))
         mn, mx = expect[row["l_returnflag"]]
         assert d.quantile(0.0) == mn and d.quantile(1.0) == mx
+
+
+def test_sketch_streaming_hll(spark, tmp_path):
+    """Streaming distinct counts: HLL partials appended per trigger,
+    merged on read over committed batches only — the whole sketch family
+    rides the same append-partials shape as the t-digest stream."""
+    from go_tdigest_spark.operators import hll_partials
+    from go_tdigest_spark.sketches import HLL
+    from go_tdigest_spark.streaming import (
+        read_stream_sketches,
+        sketch_stream_writer,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ev = table(spark, SF_TINY, "events").select("event_type", "user_id")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        sketch_stream_writer(
+            stream,
+            lambda b: hll_partials(b, ["user_id"], ["event_type"]),
+            state,
+            ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = read_stream_sketches(
+        spark, state, ["event_type"], HLL.from_bytes
+    ).toPandas().set_index("event_type")
+    truth = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"), F.count("*").alias("n"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert len(merged) == len(truth)
+    assert (merged["n_rows"].sort_index() == truth["n"].sort_index()).all()
+    for et, row in merged.iterrows():
+        est = HLL.from_bytes(bytes(row["sketch"])).estimate()
+        assert abs(est - truth.loc[et]["d"]) / truth.loc[et]["d"] <= 0.05
+
+    # torn batch is invisible
+    import glob
+
+    some = sorted(glob.glob(f"{state}/batch_id=*/_SUCCESS"))[0]
+    os.remove(some)
+    merged2 = read_stream_sketches(
+        spark, state, ["event_type"], HLL.from_bytes
+    ).toPandas()
+    assert int(merged2["n_rows"].sum()) < int(truth["n"].sum())
