@@ -349,6 +349,25 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_dedup(docs, "text", "doc_id", n=2, threshold=0.5)
 
 
+def _q_dedup_invindex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the classic inverted-index similarity join (exact Jaccard over the
+    # df-capped shingle-hash universe) — shuffle key is the shingle hash
+    docs = table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=2, threshold=0.4, max_doc_freq=0.02
+    )
+
+
+def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    kept = dedup.dedup_exact_keep_first(docs, "text", "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_kept_id"),
+        F.max("doc_id").alias("max_kept_id"),
+    )
+
+
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=2, n_hashes=16)
@@ -486,7 +505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_summary": _q_text_summary,
         "dedup_exact_documents": _q_dedup_exact,
+        "dedup_keep_first": _q_dedup_keep_first,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_invindex_jaccard": _q_dedup_invindex_jaccard,
         "dedup_minhash_signatures": _q_minhash_signatures,
         "dedup_minhash_lsh": _q_minhash_lsh_pairs,
         "dedup_simhash": _q_simhash,
@@ -676,8 +697,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(DISTINCT text) AS n_dup_docs
             FROM documents GROUP BY source
         """,
+        "dedup_keep_first": """
+            WITH kept AS (
+                SELECT d.source, d.doc_id
+                FROM documents d
+                JOIN (
+                    SELECT text, min(doc_id) AS keep_id
+                    FROM documents GROUP BY text
+                ) k ON d.text = k.text AND d.doc_id = k.keep_id
+            )
+            SELECT source, count(*) AS n_kept,
+                   min(doc_id) AS min_kept_id,
+                   max(doc_id) AS max_kept_id
+            FROM kept GROUP BY source
+        """,
         "dedup_ngram_jaccard": dedup.minhash_jaccard_dedup_sql(
             "documents", "text", "doc_id", n=2, threshold=0.5
+        ),
+        "dedup_invindex_jaccard": dedup.ngram_jaccard_pairs_sql(
+            "documents", "text", "doc_id", n=2, threshold=0.4, max_doc_freq=0.02
         ),
         "dedup_minhash_signatures": dedup.minhash_signature_sql(
             "documents", "text", "doc_id", n=2, n_hashes=16, as_string=True

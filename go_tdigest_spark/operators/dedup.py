@@ -109,6 +109,62 @@ def dedup_exact_keep_first(
 # --------------------------------------------------------- ngram jaccard
 
 
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 1
+) -> DataFrame:
+    """Distinct word n-gram shingle HASHES per doc, vectorized
+    (mapInArrow): one poly_hash_batch pass over every shingle of the
+    batch, then one lexsort dedup per batch — no per-row Python hashing,
+    no interpreted higher-order expressions.
+
+    Joining the inverted index on int64 hashes instead of shingle
+    strings also shrinks the shuffle by the average shingle width.  The
+    SQL twin hashes with the identical polynomial, so results stay
+    hash-exact (string collisions merge identically on both sides).
+    """
+    import pyarrow as pa
+
+    id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
+    pruned = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+
+    def shingles_of(text: str) -> list[str]:
+        words = text.strip().lower().split()
+        if n == 1:
+            return words
+        if len(words) < n:
+            return []
+        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+    def gen(batches):
+        from ._batch import poly_hash_batch
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            doc_rep: list = []
+            all_shingles: list[str] = []
+            for i, t in enumerate(texts):
+                sh = shingles_of(t)
+                all_shingles.extend(sh)
+                doc_rep.extend([i] * len(sh))
+            if not all_shingles:
+                continue
+            h = poly_hash_batch(all_shingles, FP_BASE, FP_MOD)
+            d = np.asarray(doc_rep, dtype=np.int64)
+            # one lexsort; keep first of each (doc, hash) run
+            order = np.lexsort((h, d))
+            ds, hs = d[order], h[order]
+            keep = np.ones(ds.size, dtype=bool)
+            keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+            ds, hs = ds[keep], hs[keep]
+            out_ids = pa.array([ids[i] for i in ds])
+            yield pa.RecordBatch.from_arrays(
+                [out_ids, pa.array(hs, type=pa.int64())], names=["doc", "s"]
+            )
+
+    return pruned.mapInArrow(gen, f"doc {id_dt}, s long")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -125,14 +181,15 @@ def ngram_jaccard_pairs(
     set sizes, so the Jaccard is exact over the rare-shingle universe).
     Ubiquitous shingles carry no dedup signal but quadratically blow up
     the inverted-index join — df-capping is what makes this shape viable
-    at corpus scale.  ``None`` disables the cap."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.expr(shingles_frag(text_col, n, "spark")).alias("sh"),
-    ).where(F.size("sh") > 0)
-    inv = sh.select("doc", F.explode("sh").alias("s"))
+    at corpus scale.  ``None`` disables the cap.
+
+    Shingle production is the vectorized ``shingle_hashes`` kernel; the
+    index joins on int64 hashes (poly hash, SQL-replicable)."""
+    inv = shingle_hashes(df, text_col, id_col, n)
     if max_doc_freq is not None:
-        n_docs = sh.select(F.count(F.lit(1)).alias("nd"))
+        n_docs = inv.select("doc").distinct().select(
+            F.count(F.lit(1)).alias("nd")
+        )
         freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         keep = freq.crossJoin(F.broadcast(n_docs)).where(
             F.col("df") <= F.col("nd") * max_doc_freq
@@ -188,7 +245,9 @@ def ngram_jaccard_pairs_sql(
         ), grams2 AS (
             SELECT doc, sh FROM grams WHERE len(sh) > 0
         ), inv AS (
-            SELECT doc, unnest(sh) AS s FROM grams2
+            SELECT doc, unnest(list_distinct(list_transform(sh,
+                s -> ({shingle_hash_frag('s', 'duck')})))) AS s
+            FROM grams2
         ){df_filter}, sizes AS (
             SELECT doc, count(*) AS sz FROM {inv_name} GROUP BY doc
         ), inter AS (
@@ -740,9 +799,9 @@ def embedding_lsh_neardup(
     vec_col: str,
     id_col: str,
     threshold: float = 0.6,
-    n_planes: int = 16,
+    n_planes: int = 32,
     dim: int = 64,
-    bands: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH bucketing
     (vectorized matmul signatures, ann.lsh_features) -> banded candidate
@@ -750,8 +809,11 @@ def embedding_lsh_neardup(
 
     ``n_planes`` sign bits are split into ``bands``; two vectors are
     candidates when any band matches (same banding trick as MinHash-LSH:
-    more bands = higher recall, more candidates).  Recall < 1 by
-    construction — pinned against embedding_similar_pairs in tests.
+    more bands = higher recall, more candidates).  Keep the per-band bit
+    width (n_planes/bands) >= ~8: narrow bands mean tiny bucket spaces
+    (2^width per band) and the candidate join degrades toward all-pairs.
+    Recall < 1 by construction — pinned against embedding_similar_pairs
+    in tests.
     Output columns and rounding match the exact operator, so the two are
     interchangeable downstream.
     """

@@ -572,7 +572,7 @@ def test_embedding_lsh_neardup_recall(spark):
 
     exact = embedding_similar_pairs(df, "embedding", "vec_id", 0.95).toPandas()
     approx = embedding_lsh_neardup(
-        df, "embedding", "vec_id", threshold=0.95, n_planes=16, dim=64, bands=8
+        df, "embedding", "vec_id", threshold=0.95, n_planes=32, dim=64, bands=4
     ).toPandas()
     e = {(a, b) for a, b, _ in exact.itertuples(index=False)}
     g = {(a, b) for a, b, _ in approx.itertuples(index=False)}
