@@ -45,11 +45,19 @@ def main() -> None:
     # section — the first UDF query otherwise pays ~3s of worker spawn
     t_warm = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
+    # spawn the FULL python worker pool (one per core) — a single small
+    # mapInPandas only forks a few workers and the first real query then
+    # pays the rest of the pool spawn inside its timing
+    n_workers = int(CPUS)
+    spark.range(0, 64 * n_workers, 1, n_workers).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     from go_tdigest_spark.operators import tdigest_agg
 
     tdigest_agg(
-        spark.range(10_000).selectExpr("CAST(id AS DOUBLE) v", "id % 3 g"),
+        spark.range(0, 100_000, 1, n_workers).selectExpr(
+            "CAST(id AS DOUBLE) v", "id % 3 g"
+        ),
         "v",
         by=["g"],
     ).count()
