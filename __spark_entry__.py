@@ -339,6 +339,28 @@ def _q_text_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation flow, end to end on the vectorized
+    path: text features -> quality/language filter -> exact keep-first
+    dedup -> per-source stats.  One documents scan; the dedup is a
+    hash-agg semi-join on the raw text key."""
+    docs = table(spark, sf_dir, "documents").withColumn("raw", F.col("text"))
+    feats = T.text_features(docs, "text", "doc_id", extra_cols=("source", "raw"))
+    curated = feats.where(
+        (F.col("quality") >= 0.5) & (F.col("lang_guess") == "en")
+    )
+    keep = curated.groupBy("raw").agg(F.min("doc_id").alias("doc_id"))
+    kept = curated.join(keep, ["raw", "doc_id"], "left_semi")
+    # quality aggregate as an integer (sum of 4dp scores x 10^4): a
+    # rounded AVG can land exactly on a 5th-decimal boundary where the
+    # two engines' float sum orders tie-break differently
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_curated"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("quality") * 10000).cast("long").alias("quality_x10k"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.dedup_exact_stats(docs, "text", ["source"])
@@ -504,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers": _q_anti_join_customers,
         "text_stats": _q_text_stats,
         "text_summary": _q_text_summary,
+        "pipeline_curation": _q_pipeline_curation,
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -689,6 +712,26 @@ def oracle_sql() -> dict[str, str]:
                    min(l_extendedprice) AS min_price,
                    max(l_extendedprice) AS max_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "pipeline_curation": f"""
+            WITH feats AS (
+                SELECT doc_id, source, text AS raw,
+                       {T.token_count_frag_duck('text')} AS n_tokens,
+                       {T.lang_id_frag('text', 'duck')} AS lang_guess,
+                       {T.quality_score_frag('text', 'duck')} AS quality
+                FROM documents WHERE text IS NOT NULL
+            ), curated AS (
+                SELECT * FROM feats
+                WHERE quality >= 0.5 AND lang_guess = 'en'
+            ), keep AS (
+                SELECT raw, min(doc_id) AS doc_id FROM curated GROUP BY raw
+            ), kept AS (
+                SELECT c.* FROM curated c JOIN keep USING (raw, doc_id)
+            )
+            SELECT source, count(*) AS n_curated,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(round(sum(quality) * 10000) AS BIGINT) AS quality_x10k
+            FROM kept GROUP BY source
         """,
         "dedup_exact_documents": """
             SELECT source,

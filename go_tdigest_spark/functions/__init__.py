@@ -1,3 +1,4 @@
+from .sketch_fns import register_sketch_sql_functions
 from .udtf_fns import register_udtfs
 from .tdigest_fns import (
     register_sql_functions,
@@ -14,6 +15,7 @@ from .tdigest_fns import (
 __all__ = [
     "register_udtfs",
     "register_sql_functions",
+    "register_sketch_sql_functions",
     "td_cdf",
     "td_centroids",
     "td_count",

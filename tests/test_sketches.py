@@ -507,3 +507,49 @@ def test_driver_sketch_queries_bounds_gated(spark):
     for st, row in got.iterrows():
         assert row["approx_members"] >= truth[st]  # no false negatives
         assert row["approx_members"] <= 100  # sane upper bound
+
+
+def test_sketch_sql_function_registration(spark):
+    """SQL-only consumers can read every sketch type the aggregations
+    produce (mirrors the t-digest's register_sql_functions)."""
+    from go_tdigest_spark.functions import register_sketch_sql_functions
+    from go_tdigest_spark.operators import bloom_agg, cms_agg, hll_agg, kll_agg
+
+    register_sketch_sql_functions(spark)
+    ev = table(spark, SF_TINY, "events")
+
+    kll_agg(ev, "value", by=["event_type"]).createOrReplaceTempView("kll_t")
+    got = spark.sql(
+        "SELECT event_type, kll_count(sketch) n, kll_quantile(sketch, 0.0) mn, "
+        "kll_quantile(sketch, 1.0) mx, kll_cdf(sketch, 1e18) c FROM kll_t"
+    ).toPandas().set_index("event_type")
+    truth = ev.where("value IS NOT NULL AND NOT isnan(value)").groupBy(
+        "event_type"
+    ).agg(
+        F.count("value").alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    ).toPandas().set_index("event_type")
+    for et, row in got.iterrows():
+        t = truth.loc[et]
+        assert row["n"] == t["n"] and row["mn"] == t["mn"] and row["mx"] == t["mx"]
+        assert row["c"] == 1.0
+
+    hll_agg(ev, ["user_id"], by=[]).createOrReplaceTempView("hll_t")
+    est = spark.sql("SELECT hll_estimate(sketch) e FROM hll_t").collect()[0]["e"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) / exact <= 0.05
+
+    cms_agg(ev, ["event_type"], by=[]).createOrReplaceTempView("cms_t")
+    freq = spark.sql(
+        "SELECT cms_point_query(sketch, xxhash64('click')) f FROM cms_t"
+    ).collect()[0]["f"]
+    assert freq >= ev.where("event_type = 'click'").count()
+
+    bloom_agg(ev, ["user_id"], by=[]).createOrReplaceTempView("blm_t")
+    some_user = ev.select("user_id").first()["user_id"]
+    hit = spark.sql(
+        f"SELECT bloom_might_contain(sketch, xxhash64({some_user}L), "
+        f"xxhash64({some_user}L, 1)) h FROM blm_t"
+    ).collect()[0]["h"]
+    assert hit is True
