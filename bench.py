@@ -102,6 +102,24 @@ def main() -> None:
         "result_rows": total_rows,
         "sketch_values_per_sec": int(sketch_values / sketch_secs) if sketch_secs else 0,
     }
+    # carry the north-rule scaling/accuracy evidence (produced by
+    # scripts/bench_scaling.py on the ~2B-token fixture) alongside the
+    # per-query timings so one artifact holds both
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_results.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        result["scaling"] = {
+            "tokens_per_sec_local2": sc["local2"]["tokens_per_sec"],
+            "tokens_per_sec_local8": sc["local8"]["tokens_per_sec"],
+            "tokens_per_sec_local32": sc["local32"]["tokens_per_sec"],
+            "efficiency_N_to_4N": sc["scaling_efficiency_tokens_N2_to_4N8"],
+            "gate": sc["gate"],
+            "pass": sc["pass"],
+            "max_rank_error_vs_exact": sc["accuracy"]["max_rank_error"],
+        }
     spark.stop()
     print(json.dumps(result))
 

@@ -146,3 +146,71 @@ def test_reset_keeps_config():
     assert d.count == 0 and len(d) == 0 and d.compression == 42
     d.add(5.0)
     assert d.quantile(0.5) == 5.0
+
+
+# ------------------------------------------------------------------ KLL
+
+
+@settings(max_examples=80, deadline=None)
+@given(values=value_lists, k=st.sampled_from([8, 32, 200]))
+def test_kll_invariants(values, k):
+    """KLL mirrors the reference's property posture: exact count/min/max,
+    quantile outputs inside [min, max], CDF in [0, 1] and monotone."""
+    from go_tdigest_spark.sketches import KLL
+
+    arr = np.asarray(values, dtype=np.float64)
+    sk = KLL(k)
+    sk.update(arr)
+    assert sk.count == arr.size
+    assert sk.quantile(0.0) == arr.min()
+    assert sk.quantile(1.0) == arr.max()
+    _, w = sk._weighted_items()
+    assert int(w.sum()) == sk.count
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    est = [sk.quantile(q) for q in qs]
+    assert all(arr.min() <= e <= arr.max() for e in est)
+    assert est == sorted(est)  # quantile function is monotone
+    xs = sorted({float(arr.min()), float(np.median(arr)), float(arr.max())})
+    cdfs = [sk.cdf(x) for x in xs]
+    assert all(0.0 <= c <= 1.0 for c in cdfs)
+    assert cdfs == sorted(cdfs)
+    assert sk.cdf(arr.max()) == 1.0
+
+    # serde roundtrip is byte-stable and query-identical
+    back = KLL.from_bytes(sk.to_bytes())
+    assert back.to_bytes() == sk.to_bytes()
+    assert [back.quantile(q) for q in qs] == est
+
+
+@settings(max_examples=50, deadline=None)
+@given(values=bulk_lists, parts=st.integers(min_value=2, max_value=8))
+def test_kll_merge_matches_whole_within_bound(values, parts):
+    """Partitioned build + merge answers like the single build — the
+    distributed-correctness property (analogue of the reference's
+    TestMerge suite)."""
+    from go_tdigest_spark.sketches import KLL
+
+    arr = np.asarray(values, dtype=np.float64)
+    whole = KLL(64)
+    whole.update(arr)
+    merged = KLL(64)
+    for chunk in np.array_split(arr, parts):
+        part = KLL(64)
+        part.update(chunk)
+        merged.merge(part)
+    assert merged.count == whole.count == arr.size
+    assert merged.quantile(0.0) == whole.quantile(0.0) == arr.min()
+    assert merged.quantile(1.0) == whole.quantile(1.0) == arr.max()
+    s = np.sort(arr)
+
+    def rank_err(x: float, q: float) -> float:
+        # duplicated mass makes a value's true rank an INTERVAL
+        # [left, right]; the error is the distance from q to it
+        lo = np.searchsorted(s, x, side="left") / s.size
+        hi = np.searchsorted(s, x, side="right") / s.size
+        return 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+
+    for q in (0.25, 0.5, 0.75):
+        # k=64 at <=400 points: generous but real rank bound either way
+        assert rank_err(merged.quantile(q), q) <= 0.25
+        assert rank_err(whole.quantile(q), q) <= 0.25

@@ -372,3 +372,54 @@ def test_driver_rows_only_queries_bounds_gated(spark):
     for et, row in got.iterrows():
         t = vals.loc[et]
         assert t["p25"] - 1e-9 <= row["iqm"] <= t["p75"] + 1e-9
+
+
+def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
+    """Guardrail over the executed plans of the hot-path driver queries:
+    no row-at-a-time Python (BatchEvalPython) anywhere, and the flagship
+    scan reads exactly the columns it needs with the null filter pushed
+    to the source."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    hot = [
+        "td_stats_lineitem",
+        "agg_pricing_summary",
+        "join_customer_orders",
+        "window_top_orders",
+        "text_stats",
+        "dedup_minhash_signatures",
+        "dedup_simhash",
+        "dedup_invindex_jaccard",
+        "ann_lsh_topk",
+        "kll_stats_lineitem",
+        "hll_distinct_users",
+        "pipeline_curation",
+    ]
+    for name in hot:
+        df = qs[name](spark, sf)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # BatchEvalPython = row-wise Python UDF; Arrow paths show up as
+        # ArrowEvalPython / MapInArrow / FlatMapGroupsInPandas instead
+        assert "BatchEvalPython" not in plan, name
+
+    # scan-shape asserts on an sf no other test caches: Spark's cache
+    # manager substitutes InMemoryRelation for matching logical plans,
+    # which hides the FileScan pruning this test pins
+    sf_uncached = "/root/testdata/sf0.01"
+    flagship = qs["td_stats_lineitem"](spark, sf_uncached)
+    flagship.collect()
+    plan = flagship._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan
+    assert "PushedFilters: [IsNotNull(l_extendedprice)]" in plan
+
+    # broadcast join stays broadcast (dimension side never shuffles)
+    jq = qs["join_customer_orders"](spark, sf_uncached)
+    jq.collect()
+    jplan = jq._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jplan
