@@ -184,7 +184,15 @@ def text_features(df, text_col: str, id_col: str, extra_cols: tuple = ()):
     )
     non_punct = re.compile(r"[^.,!?;:]")
     non_alpha = re.compile(r"[^a-zA-Z]")
-    ws = re.compile(r"\s+")
+    # exact twin of token_count_frag_*: SQL trim() strips SPACES only and
+    # Java/RE2 \s is ASCII-only — strip(' ') + re.ASCII replicate both
+    # engines for every input (incl. leading tabs/newlines and unicode
+    # whitespace), not just clean fixtures
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def py_token_count(t: str) -> int:
+        t2 = t.strip(" ")
+        return len(ws.split(t2)) if t2 else 0
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -212,8 +220,7 @@ def text_features(df, text_col: str, id_col: str, extra_cols: tuple = ()):
                 ) % FP_MOD
 
             for i, t in enumerate(texts):
-                stripped = t.strip()
-                toks = len(ws.split(stripped)) if stripped else 0
+                toks = py_token_count(t)
                 n_tokens[i] = toks
                 padded = f" {t} "
                 stops = sum(padded.count(f" {w} ") for w in STOPWORDS)

@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 MH_PRIME = 2_147_483_647  # 2^31 - 1
 FP_MOD = 1_000_000_007
 FP_BASE = 31
+# inverted-index shingle hash: ~2^57 prime — the largest modulus where
+# (h*31 + codepoint) still fits int64/BIGINT on every engine.  At 1e9
+# distinct shingles the expected number of colliding PAIRS is
+# D^2/(2M) ~ 3.5, vs ~5e8 pairs at the 30-bit FP_MOD — collisions merge
+# identically on the Spark and SQL sides either way, but at corpus scale
+# the 57-bit space keeps "exact Jaccard over hashes" honest.
+SH_MOD = 144_115_188_075_855_881
 
 
 def minhash_params(n_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
@@ -39,12 +46,44 @@ def minhash_params(n_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
 
 
 # ------------------------------------------------------------- shingles
+#
+# ONE tokenization rule everywhere: lowercase, split on runs of ASCII
+# whitespace, drop empty tokens.  The Python kernels (py_words below),
+# the Spark expression frags, and the DuckDB oracle frags implement the
+# identical rule — Java/RE2 regex \s is ASCII-only, so the Python regex
+# uses re.ASCII; empty-token filtering (rather than trim()) makes
+# leading/trailing whitespace of ANY kind behave the same on all three
+# engines.  Every dedup kernel MUST tokenize via py_words/py_shingles so
+# the rule cannot fork (round-2 review finding).
+
+_WS_RE = None
+
+
+def py_words(text: str) -> list[str]:
+    """Python twin of words_frag: lowercase, ASCII-\\s+ split, no empties."""
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile(r"\s+", re.ASCII)
+    return [w for w in _WS_RE.split(text.lower()) if w]
+
+
+def py_shingles(text: str, n: int) -> list[str]:
+    """Word n-gram shingles over py_words (duplicates kept — callers
+    dedup by hash or set as needed)."""
+    words = py_words(text)
+    if n == 1:
+        return words
+    if len(words) < n:
+        return []
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
 
 
 def words_frag(col: str, dialect: str) -> str:
     if dialect == "spark":
-        return f"split(trim(lower({col})), '\\\\s+')"
-    return f"string_split_regex(trim(lower({col})), '\\s+')"
+        return f"filter(split(lower({col}), '\\\\s+'), w -> w != '')"
+    return f"list_filter(string_split_regex(lower({col}), '\\s+'), w -> w != '')"
 
 
 def shingles_frag(col: str, n: int, dialect: str) -> str:
@@ -69,19 +108,19 @@ def shingles_frag(col: str, n: int, dialect: str) -> str:
     )
 
 
-def shingle_hash_frag(var: str, dialect: str) -> str:
+def shingle_hash_frag(var: str, dialect: str, mod: int = FP_MOD) -> str:
     """Polynomial hash of one shingle string (lambda var ``var``)."""
     if dialect == "spark":
         return (
             f"aggregate(transform(sequence(1, length({var})), "
             f"i -> ascii(substring({var}, i, 1))), 0L, "
-            f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
+            f"(acc, c) -> (acc * {FP_BASE} + c) % {mod})"
         )
     return (
         f"list_reduce(list_prepend(0::BIGINT, list_transform("
         f"generate_series(1, length({var})), "
         f"i -> ascii(substr({var}, i, 1))::BIGINT)), "
-        f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
+        f"(acc, c) -> (acc * {FP_BASE} + c) % {mod})"
     )
 
 
@@ -127,29 +166,20 @@ def shingle_hashes(
     id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
     pruned = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
 
-    def shingles_of(text: str) -> list[str]:
-        words = text.strip().lower().split()
-        if n == 1:
-            return words
-        if len(words) < n:
-            return []
-        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-
     def gen(batches):
         from ._batch import poly_hash_batch
 
         for batch in batches:
-            ids = batch.column(0).to_pylist()
             texts = batch.column(1).to_pylist()
             doc_rep: list = []
             all_shingles: list[str] = []
             for i, t in enumerate(texts):
-                sh = shingles_of(t)
+                sh = py_shingles(t, n)
                 all_shingles.extend(sh)
                 doc_rep.extend([i] * len(sh))
             if not all_shingles:
                 continue
-            h = poly_hash_batch(all_shingles, FP_BASE, FP_MOD)
+            h = poly_hash_batch(all_shingles, FP_BASE, SH_MOD)
             d = np.asarray(doc_rep, dtype=np.int64)
             # one lexsort; keep first of each (doc, hash) run
             order = np.lexsort((h, d))
@@ -157,7 +187,9 @@ def shingle_hashes(
             keep = np.ones(ds.size, dtype=bool)
             keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
             ds, hs = ds[keep], hs[keep]
-            out_ids = pa.array([ids[i] for i in ds])
+            # take() from the original Arrow column preserves the id type
+            # (a re-built python list would infer int64 for int32 ids)
+            out_ids = batch.column(0).take(pa.array(ds, type=pa.int64()))
             yield pa.RecordBatch.from_arrays(
                 [out_ids, pa.array(hs, type=pa.int64())], names=["doc", "s"]
             )
@@ -246,7 +278,7 @@ def ngram_jaccard_pairs_sql(
             SELECT doc, sh FROM grams WHERE len(sh) > 0
         ), inv AS (
             SELECT doc, unnest(list_distinct(list_transform(sh,
-                s -> ({shingle_hash_frag('s', 'duck')})))) AS s
+                s -> ({shingle_hash_frag('s', 'duck', SH_MOD)})))) AS s
             FROM grams2
         ){df_filter}, sizes AS (
             SELECT doc, count(*) AS sz FROM {inv_name} GROUP BY doc
@@ -353,17 +385,7 @@ def minhash_signatures(
     id_dt = id_field.dataType.simpleString()
     pruned = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
 
-    def shingles_of(text: str) -> list[str]:
-        words = text.strip().lower().split()
-        if n == 1:
-            return words
-        if len(words) < n:
-            return []
-        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-
     def gen(batches):
-        import re  # noqa: F401
-
         for batch in batches:
             ids = batch.column(0).to_pylist()
             texts = batch.column(1).to_pylist()
@@ -371,7 +393,7 @@ def minhash_signatures(
             all_shingles: list[str] = []
             doc_bounds = [0]
             for i, t in enumerate(texts):
-                sh = shingles_of(t)
+                sh = py_shingles(t, n)
                 if not sh:
                     continue
                 doc_ids.append(ids[i])
@@ -534,12 +556,7 @@ def minhash_jaccard_dedup(
     # cheaper than materializing shingle arrays for the whole corpus
     # through interpreted expressions
     def sh_set(text: str) -> set:
-        words = text.strip().lower().split()
-        if n == 1:
-            return set(words)
-        if len(words) < n:
-            return set()
-        return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+        return set(py_shingles(text, n))
 
     def verify(batches):
         for pdf in batches:
@@ -645,7 +662,7 @@ def simhash_signatures(
             all_words: list[str] = []
             bounds = [0]
             for i, t in enumerate(texts):
-                words = set(t.lower().split())
+                words = set(py_words(t))
                 if not words:
                     continue  # empty doc keeps signature 0
                 doc_pos.append(i)

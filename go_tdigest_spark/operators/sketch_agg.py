@@ -18,7 +18,14 @@ import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from ..sketches import HLL, KLL, BloomFilter, CountMinSketch
 
@@ -198,14 +205,15 @@ def hll_agg(
     return _merge_stage(hll_partials(df, cols, by, p), by, HLL.from_bytes, fanin=fanin)
 
 
-def hll_estimate(sketch: Column | str) -> Column:
-    @pandas_udf("double")
-    def _f(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda b: None if b is None else HLL.from_bytes(bytes(b)).estimate()
-        )
+@pandas_udf(DoubleType())
+def _hll_estimate_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda b: None if b is None else HLL.from_bytes(bytes(b)).estimate()
+    )
 
-    return _f(sketch)
+
+def hll_estimate(sketch: Column | str) -> Column:
+    return _hll_estimate_udf(sketch)
 
 
 # ---------------------------------------------------------------- Bloom
@@ -230,32 +238,34 @@ def bloom_agg(
     return _merge_stage(partials, by, BloomFilter.from_bytes, fanin=fanin)
 
 
+@pandas_udf(BooleanType())
+def _bloom_might_contain_udf(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
+    # probe joins repeat the same (broadcast) sketch across many rows:
+    # decode each distinct sketch ONCE per batch, then probe all of
+    # its rows through the vectorized kernel.  NULL sketch or NULL
+    # probe hash -> NULL result (SQL semantics), never a probe of 0.
+    # Module-level so the Column API and spark.udf.register share ONE
+    # implementation (no per-row-decode SQL twin drifting beside it).
+    out = pd.Series(np.zeros(len(s), dtype=object), index=s.index)
+    nulls = s.isna() | a.isna() | b.isna()
+    out[nulls] = None
+    live = s[~nulls]
+    groups = live.groupby(live.map(bytes)).groups
+    h1v = a.to_numpy(dtype=np.int64, na_value=0)
+    h2v = b.to_numpy(dtype=np.int64, na_value=0)
+    pos = {ix: i for i, ix in enumerate(s.index)}
+    for buf, idx in groups.items():
+        bf = BloomFilter.from_bytes(buf)
+        rows = np.fromiter((pos[i] for i in idx), dtype=np.int64)
+        hits = bf.might_contain_hashes(h1v[rows], h2v[rows])
+        out.iloc[rows] = [bool(x) for x in hits]
+    return out
+
+
 def bloom_might_contain(sketch: Column | str, h1: Column, h2: Column) -> Column:
     """Membership probe; pass ``xxhash64(value)`` and
     ``xxhash64(value, lit(1))`` — the same expressions used at build."""
-
-    @pandas_udf("boolean")
-    def _f(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
-        # probe joins repeat the same (broadcast) sketch across many rows:
-        # decode each distinct sketch ONCE per batch, then probe all of
-        # its rows through the vectorized kernel.  NULL sketch or NULL
-        # probe hash -> NULL result (SQL semantics), never a probe of 0
-        out = pd.Series(np.zeros(len(s), dtype=object), index=s.index)
-        nulls = s.isna() | a.isna() | b.isna()
-        out[nulls] = None
-        live = s[~nulls]
-        groups = live.groupby(live.map(bytes)).groups
-        h1v = a.to_numpy(dtype=np.int64, na_value=0)
-        h2v = b.to_numpy(dtype=np.int64, na_value=0)
-        pos = {ix: i for i, ix in enumerate(s.index)}
-        for buf, idx in groups.items():
-            bf = BloomFilter.from_bytes(buf)
-            rows = np.fromiter((pos[i] for i in idx), dtype=np.int64)
-            hits = bf.might_contain_hashes(h1v[rows], h2v[rows])
-            out.iloc[rows] = [bool(x) for x in hits]
-        return out
-
-    return _f(sketch, h1, h2)
+    return _bloom_might_contain_udf(sketch, h1, h2)
 
 
 # ------------------------------------------------------------------ KLL
@@ -292,37 +302,49 @@ def kll_agg(
     return _merge_stage(partials, by, KLL.from_bytes, fanin=fanin)
 
 
+@pandas_udf(DoubleType())
+def _kll_quantile_udf(s: pd.Series, q: pd.Series) -> pd.Series:
+    # NULL q arrives as NaN in the numeric pandas column — pd.isna, not
+    # `is None`, is the correct null test for SQL params
+    return pd.Series(
+        [
+            None
+            if b is None or pd.isna(qv)
+            else KLL.from_bytes(bytes(b)).quantile(float(qv))
+            for b, qv in zip(s, q)
+        ]
+    )
+
+
+@pandas_udf(DoubleType())
+def _kll_cdf_udf(s: pd.Series, x: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if b is None or pd.isna(xv)
+            else KLL.from_bytes(bytes(b)).cdf(float(xv))
+            for b, xv in zip(s, x)
+        ]
+    )
+
+
+@pandas_udf(LongType())
+def _kll_count_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: None if b is None else KLL.from_bytes(bytes(b)).count)
+
+
 def kll_quantile(sketch: Column | str, q: float) -> Column:
     """Quantile estimate; q=0/1 are the exact tracked min/max (which is
     what makes kll_agg oracle-checkable end to end)."""
-
-    @pandas_udf("double")
-    def _f(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda b: None if b is None else KLL.from_bytes(bytes(b)).quantile(q)
-        )
-
-    return _f(sketch)
+    return _kll_quantile_udf(sketch, F.lit(float(q)))
 
 
 def kll_cdf(sketch: Column | str, x: float) -> Column:
-    @pandas_udf("double")
-    def _f(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda b: None if b is None else KLL.from_bytes(bytes(b)).cdf(x)
-        )
-
-    return _f(sketch)
+    return _kll_cdf_udf(sketch, F.lit(float(x)))
 
 
 def kll_count(sketch: Column | str) -> Column:
-    @pandas_udf("long")
-    def _f(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda b: None if b is None else KLL.from_bytes(bytes(b)).count
-        )
-
-    return _f(sketch)
+    return _kll_count_udf(sketch)
 
 
 # ------------------------------------------------------------------ CMS
@@ -378,26 +400,26 @@ def cms_agg(
     return _merge_stage(partials, by, CountMinSketch.from_bytes, fanin=fanin)
 
 
+@pandas_udf(LongType())
+def _cms_point_query_udf(s: pd.Series, hh: pd.Series) -> pd.Series:
+    # one decode per distinct sketch per batch, vectorized probes;
+    # NULL sketch or NULL probe hash -> NULL (SQL semantics)
+    out = pd.Series(np.zeros(len(s), dtype=object), index=s.index)
+    nulls = s.isna() | hh.isna()
+    out[nulls] = None
+    live = s[~nulls]
+    groups = live.groupby(live.map(bytes)).groups
+    hv = hh.to_numpy(dtype=np.int64, na_value=0)
+    pos = {ix: i for i, ix in enumerate(s.index)}
+    for buf, idx in groups.items():
+        cms = CountMinSketch.from_bytes(buf)
+        rows = np.fromiter((pos[i] for i in idx), dtype=np.int64)
+        ests = cms.point_query_hashes(hv[rows])
+        out.iloc[rows] = [int(x) for x in ests]
+    return out
+
+
 def cms_point_query(sketch: Column | str, h: Column) -> Column:
     """Estimated frequency of the item whose build-side hash is ``h``
     (= ``xxhash64(value)``)."""
-
-    @pandas_udf("long")
-    def _f(s: pd.Series, hh: pd.Series) -> pd.Series:
-        # one decode per distinct sketch per batch, vectorized probes;
-        # NULL sketch or NULL probe hash -> NULL (SQL semantics)
-        out = pd.Series(np.zeros(len(s), dtype=object), index=s.index)
-        nulls = s.isna() | hh.isna()
-        out[nulls] = None
-        live = s[~nulls]
-        groups = live.groupby(live.map(bytes)).groups
-        hv = hh.to_numpy(dtype=np.int64, na_value=0)
-        pos = {ix: i for i, ix in enumerate(s.index)}
-        for buf, idx in groups.items():
-            cms = CountMinSketch.from_bytes(buf)
-            rows = np.fromiter((pos[i] for i in idx), dtype=np.int64)
-            ests = cms.point_query_hashes(hv[rows])
-            out.iloc[rows] = [int(x) for x in ests]
-        return out
-
-    return _f(sketch, h)
+    return _cms_point_query_udf(sketch, h)

@@ -23,7 +23,6 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.sketch_agg import _merge_stage
-from .stream_agg import _committed_batch_dirs
 
 
 def sketch_stream_writer(
@@ -64,14 +63,10 @@ def read_stream_sketches(
 ) -> DataFrame:
     """Merge-on-read over committed batches only; tree sized by partial
     count because storage-read partitions pack many partials per group."""
+    from .stream_agg import read_committed_partials
+
     by = list(by)
-    dirs = _committed_batch_dirs(spark, state_path)
-    if not dirs:
-        raise FileNotFoundError(f"no committed batches under {state_path}")
-    partials = (
-        spark.read.option("basePath", state_path)
-        .parquet(*dirs)
-        .select(*by, "sketch", "n_rows")
+    partials, n_units = read_committed_partials(
+        spark, state_path, by + ["sketch", "n_rows"], count_units=fanin is not None
     )
-    n_units = partials.count() if fanin else None
     return _merge_stage(partials, by, decode, fanin=fanin, n_units=n_units)

@@ -36,26 +36,21 @@ def tdigest_stream_writer(
     explode_arrays: bool = False,
 ):
     """Returns a DataStreamWriter that maintains the partial-digest state
-    table; start it with ``.start()`` (or trigger(availableNow=True))."""
+    table; start it with ``.start()`` (or trigger(availableNow=True)).
+
+    Delegates to the generic append-partials writer (sketch_stream.py) —
+    ONE copy of the exactly-once per-batch-overwrite machinery serves
+    every mergeable sketch."""
+    from .sketch_stream import sketch_stream_writer
+
     by = list(by)
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partials = build_partials(
-            batch_df, value_col, by, compression, explode_arrays=explode_arrays
-        )
-        # idempotent by construction: each batch owns its batch_id=N
-        # directory and a replay after a crash overwrites it rather than
-        # appending a second copy (foreachBatch offers at-least-once
-        # delivery; the partition overwrite upgrades it to exactly-once
-        # in the state table)
-        partials.write.mode("overwrite").parquet(
-            f"{state_path}/batch_id={batch_id}"
-        )
-
-    return (
-        stream_df.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
+    return sketch_stream_writer(
+        stream_df,
+        lambda b: build_partials(
+            b, value_col, by, compression, explode_arrays=explode_arrays
+        ),
+        state_path,
+        checkpoint_path,
     )
 
 
@@ -86,24 +81,38 @@ def _committed_batch_dirs(spark: SparkSession, state_path: str) -> list[str]:
     return sorted(out)
 
 
+def read_committed_partials(
+    spark: SparkSession,
+    state_path: str,
+    cols: Sequence[str],
+    count_units: bool = True,
+):
+    """Shared read path for every streaming state table: committed
+    batches only, plus the partial count for merge-tree sizing
+    (storage-read partitions pack many partials per group; parquet
+    count() is footer-metadata only)."""
+    dirs = _committed_batch_dirs(spark, state_path)
+    if not dirs:
+        raise FileNotFoundError(f"no committed batches under {state_path}")
+    partials = (
+        spark.read.option("basePath", state_path).parquet(*dirs).select(*cols)
+    )
+    n_units = partials.count() if count_units else None
+    return partials, n_units
+
+
 def read_stream_digests(
     spark: SparkSession, state_path: str, by: Sequence[str], fanin: int | None = 64
 ) -> DataFrame:
     """Merge-on-read: current digests from the streaming state table
     (committed batches only — see _committed_batch_dirs)."""
     by = list(by)
-    dirs = _committed_batch_dirs(spark, state_path)
-    if not dirs:
-        raise FileNotFoundError(f"no committed batches under {state_path}")
-    partials = (
-        spark.read.option("basePath", state_path)
-        .parquet(*dirs)
-        .select(*by, "digest", "n_rows", "total_weight")
+    partials, n_units = read_committed_partials(
+        spark,
+        state_path,
+        by + ["digest", "n_rows", "total_weight"],
+        count_units=fanin is not None,
     )
-    # storage-read partials: one scan partition can hold MANY partials
-    # per group (small-file packing), so size the merge tree by the
-    # actual partial count (parquet count() is footer-metadata only)
-    n_units = partials.count() if fanin else None
     return merge_partials(partials, by, fanin=fanin, n_units=n_units)
 
 
@@ -128,24 +137,18 @@ def tdigest_windowed_stream_writer(
     watermark-free shape that scales, since state is O(windows x groups x
     compression) in cheap object storage rather than executor memory.
     """
+    from .sketch_stream import sketch_stream_writer
+
     by = list(by)
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def window_partials(batch_df: DataFrame) -> DataFrame:
         windowed = batch_df.withColumn(
             "window_start", F.window(F.col(ts_col), window_duration).start
         )
-        partials = build_partials(
-            windowed, value_col, ["window_start"] + by, compression
-        )
-        # per-batch directory: replays overwrite instead of double-count
-        partials.write.mode("overwrite").parquet(
-            f"{state_path}/batch_id={batch_id}"
-        )
+        return build_partials(windowed, value_col, ["window_start"] + by, compression)
 
-    return (
-        stream_df.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
+    return sketch_stream_writer(
+        stream_df, window_partials, state_path, checkpoint_path
     )
 
 

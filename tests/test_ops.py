@@ -464,7 +464,13 @@ def test_simhash_golden_vs_python_reference(spark, docs):
     majority vote) — pins the batch kernel against drift."""
 
     def ref_simhash(text: str, seed: int = 11) -> int:
-        words = set(text.lower().split())
+        import re
+
+        # the library-wide tokenization rule: lowercase, ASCII-\s+ split,
+        # empties dropped (mirrors dedup.py_words independently)
+        words = {
+            w for w in re.split(r"\s+", text.lower(), flags=re.ASCII) if w
+        }
         if not words:
             return 0
         mask = (1 << 64) - 1
@@ -745,3 +751,92 @@ def test_sketch_streaming_hll(spark, tmp_path):
         spark, state, ["event_type"], HLL.from_bytes
     ).toPandas()
     assert int(merged2["n_rows"].sum()) < int(truth["n"].sum())
+
+
+def test_tokenization_parity_on_hostile_whitespace(spark):
+    """Constructed boundary cases (not fixture coincidence): leading
+    newlines/tabs, repeated whitespace, whitespace-only and empty docs,
+    and a unicode NBSP (which no engine's ASCII \\s splits) must produce
+    IDENTICAL results from the Python kernels, the Spark expression
+    frags, and the DuckDB oracle frags."""
+    import duckdb
+
+    from go_tdigest_spark.operators.dedup import (
+        minhash_signature_sql,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_sql,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps high"),
+        (1, "\nthe quick brown fox jumps high"),      # leading newline
+        (2, "\t the  quick\tbrown fox jumps high  "), # mixed runs
+        (3, "the quick brown fox jumps high"),   # NBSP: ONE token 'the\xa0quick'
+        (4, "   "),                                   # whitespace-only
+        (5, ""),                                      # empty
+        (6, "THE QUICK brown fox JUMPS high"),        # case folding
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    # minhash signatures: docs 0,1,2,6 identical; 3 different; 4,5 absent
+    got = {
+        r["doc"]: tuple(r["sig"])
+        for r in minhash_signatures(df, "text", "doc_id", n=2, n_hashes=8).collect()
+    }
+    want = {
+        r[0]: tuple(r[1])
+        for r in con.execute(
+            minhash_signature_sql("documents", "text", "doc_id", n=2, n_hashes=8)
+        ).fetchall()
+    }
+    assert got == want
+    assert set(got) == {0, 1, 2, 3, 6}
+    assert got[0] == got[1] == got[2] == got[6] != got[3]
+
+    # inverted-index jaccard: full pair matrix matches the SQL twin
+    got_pairs = {
+        (a, b): j
+        for a, b, j in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.0, max_doc_freq=None
+        ).collect()
+    }
+    want_pairs = {
+        (a, b): j
+        for a, b, j in con.execute(
+            ngram_jaccard_pairs_sql(
+                "documents", "text", "doc_id", n=2, threshold=0.0,
+                max_doc_freq=None,
+            )
+        ).fetchall()
+    }
+    assert got_pairs == want_pairs
+    assert got_pairs[(0, 1)] == 1.0 and got_pairs[(0, 6)] == 1.0
+    assert got_pairs[(0, 3)] < 1.0
+
+    # text features: token counts / quality / fingerprint per doc
+    import __spark_entry__ as entry  # noqa: F401  (frag imports below)
+    from go_tdigest_spark.functions import text as T
+
+    feats = (
+        T.text_features(df, "text", "doc_id")
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    oracle = con.execute(
+        f"""
+        SELECT doc_id,
+               {T.token_count_frag_duck('text')} AS n_tokens,
+               {T.lang_id_frag('text', 'duck')} AS lang_guess,
+               {T.fingerprint_frag('text', 'duck')} AS fingerprint,
+               {T.quality_score_frag('text', 'duck')} AS quality
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+        """
+    ).fetch_df().set_index("doc_id")
+    for c in ("n_tokens", "lang_guess", "fingerprint"):
+        assert list(feats[c]) == list(oracle[c]), c
+    assert np.allclose(feats["quality"], oracle["quality"])
