@@ -425,6 +425,22 @@ def minhash_signatures(
     return pruned.mapInArrow(gen, f"doc {id_dt}, sig array<long>")
 
 
+def cap_lsh_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` BEFORE the
+    self-join.  A bucket of B members contributes B^2/2 candidate pairs;
+    giant buckets are non-discriminative (boilerplate bands, degenerate
+    signatures) and are what melts a banded join on a skewed corpus.
+    The count+semi-join shuffles on the same keys as the subsequent
+    self-join, so no extra exchange shape is introduced."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bs"))
+    keep = sizes.where(F.col("_bs") <= max_bucket_size).select(*keys)
+    return banded.join(keep, keys, "left_semi")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -434,12 +450,15 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     seed: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH-banded candidate pairs with signature-agreement estimate.
 
     Shape at scale: explode to (band_idx, band_key) -> equijoin within
-    buckets -> estimate filter.  Never a cross join; hot buckets can be
-    frequency-capped upstream.
+    buckets -> estimate filter.  Never a cross join; set
+    ``max_bucket_size`` on skewed corpora to drop non-discriminative hot
+    buckets before the join (default None preserves exact SQL-twin
+    parity — the oracle does not cap).
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, n_hashes, seed)
@@ -452,6 +471,7 @@ def minhash_lsh_pairs(
     banded = sigs.select("doc", "sig", F.explode(band_arr).alias("bk")).select(
         "doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -697,7 +717,7 @@ def _simhash_word_hashes(poly: np.ndarray, seed: int) -> np.ndarray:
 
 
 def simhash_candidate_pairs(
-    sigs: DataFrame, max_hamming: int = 3
+    sigs: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
 ) -> DataFrame:
     """Banded candidate generation over four 16-bit chunks.
 
@@ -705,7 +725,9 @@ def simhash_candidate_pairs(
     (4 chunks, so d >= 4 can place one differing bit in every chunk) —
     hence the default.  Passing ``max_hamming`` above 3 widens the
     *filter* but candidate recall for d in [4, max_hamming] is partial:
-    only pairs that happen to share an identical chunk are found."""
+    only pairs that happen to share an identical chunk are found.
+    ``max_bucket_size`` drops hot chunk buckets before the self-join
+    (see cap_lsh_buckets)."""
     chunks = F.expr(
         "transform(sequence(0, 3), i -> "
         "struct(i AS band, shiftright(simhash, i * 16) & 65535 AS key))"
@@ -713,6 +735,7 @@ def simhash_candidate_pairs(
     banded = sigs.select("doc", "simhash", F.explode(chunks).alias("bk")).select(
         "doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -819,6 +842,7 @@ def embedding_lsh_neardup(
     n_planes: int = 32,
     dim: int = 64,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH bucketing
     (vectorized matmul signatures, ann.lsh_features) -> banded candidate
@@ -856,6 +880,7 @@ def embedding_lsh_neardup(
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
     )
+    banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -840,3 +840,31 @@ def test_tokenization_parity_on_hostile_whitespace(spark):
     for c in ("n_tokens", "lang_guess", "fingerprint"):
         assert list(feats[c]) == list(oracle[c]), c
     assert np.allclose(feats["quality"], oracle["quality"])
+
+
+def test_lsh_bucket_capping_drops_hot_buckets(spark):
+    """A cluster of identical docs forms one giant band bucket; with a
+    cap the quadratic candidate explosion disappears while distinct
+    near-dup pairs elsewhere survive."""
+    from go_tdigest_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "same boilerplate text repeated everywhere always", "w")
+            for i in range(40)]
+    rows += [
+        (100, "a unique document about distributed sketches", "w"),
+        (101, "a unique document about distributed sketches", "w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    uncapped = minhash_lsh_pairs(
+        df, "text", "doc_id", n=2, n_hashes=16, bands=4, threshold=0.9
+    ).count()
+    assert uncapped >= (40 * 39) // 2  # the hot cluster explodes
+
+    capped = minhash_lsh_pairs(
+        df, "text", "doc_id", n=2, n_hashes=16, bands=4, threshold=0.9,
+        max_bucket_size=10,
+    ).toPandas()
+    got = {(a, b) for a, b, _ in capped.itertuples(index=False)}
+    assert (100, 101) in got  # small buckets unaffected
+    assert not any(a < 100 and b < 100 for a, b in got)  # hot bucket gone
