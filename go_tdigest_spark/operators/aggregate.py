@@ -270,6 +270,8 @@ def tdigest_cube(
     by: Sequence[str],
     compression: float = 100.0,
     fanin: int | None = 64,
+    weight_col: str | None = None,
+    explode_arrays: bool = False,
 ) -> DataFrame:
     """CUBE over digests: one row per grouping combination (every subset
     of ``by``), rolled-up keys as NULL.  Like tdigest_rollup, every
@@ -290,7 +292,10 @@ def tdigest_cube(
         cols += [F.col(DIGEST_COL), F.col(ROWS_COL), F.col(WEIGHT_COL)]
         return d.select(*cols)
 
-    finest = tdigest_agg(df, value_col, by, compression, fanin=fanin)
+    finest = tdigest_agg(
+        df, value_col, by, compression, weight_col=weight_col,
+        explode_arrays=explode_arrays, fanin=fanin,
+    )
     out = with_level_nulls(finest, by)
     for r in range(len(by) - 1, -1, -1):
         for subset in combinations(by, r):
@@ -305,6 +310,8 @@ def tdigest_rollup(
     by: Sequence[str],
     compression: float = 100.0,
     fanin: int | None = 64,
+    weight_col: str | None = None,
+    explode_arrays: bool = False,
 ) -> DataFrame:
     """ROLLUP over digests: one row per grouping level of ``by`` (finest,
     each prefix, and the grand total), with rolled-up keys as NULL.
@@ -330,7 +337,10 @@ def tdigest_rollup(
         cols += [F.col(DIGEST_COL), F.col(ROWS_COL), F.col(WEIGHT_COL)]
         return d.select(*cols)
 
-    finest = tdigest_agg(df, value_col, by, compression, fanin=fanin)
+    finest = tdigest_agg(
+        df, value_col, by, compression, weight_col=weight_col,
+        explode_arrays=explode_arrays, fanin=fanin,
+    )
     levels = [with_level_nulls(finest, by)]
     cur = finest
     for i in range(len(by) - 1, -1, -1):

@@ -219,6 +219,24 @@ def hll_estimate(sketch: Column | str) -> Column:
 # ---------------------------------------------------------------- Bloom
 
 
+def bloom_partials(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+    n_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """Stage 1 only — batch building block and streaming partials_fn."""
+    return _generic_partials(
+        df,
+        by,
+        [_hash_cols(cols), _hash_cols(cols, seed_salt=1)],
+        lambda: BloomFilter(n_bits, k),
+        lambda s, c: s.update_hashes(c[0], c[1]),
+        notnull_cols=cols,
+    )
+
+
 def bloom_agg(
     df: DataFrame,
     cols: Sequence[str],
@@ -227,15 +245,12 @@ def bloom_agg(
     k: int = 5,
     fanin: int | None = 64,
 ) -> DataFrame:
-    partials = _generic_partials(
-        df,
+    return _merge_stage(
+        bloom_partials(df, cols, by, n_bits, k),
         by,
-        [_hash_cols(cols), _hash_cols(cols, seed_salt=1)],
-        lambda: BloomFilter(n_bits, k),
-        lambda s, c: s.update_hashes(c[0], c[1]),
-        notnull_cols=cols,
+        BloomFilter.from_bytes,
+        fanin=fanin,
     )
-    return _merge_stage(partials, by, BloomFilter.from_bytes, fanin=fanin)
 
 
 @pandas_udf(BooleanType())
@@ -290,8 +305,18 @@ def kll_agg(
     on insert, summary.go:27-29) — so ``n_rows`` equals the sketch count
     and count/min/max stay oracle-exact over the non-NaN values.
     """
+    return _merge_stage(
+        kll_partials(df, value_col, by, k), by, KLL.from_bytes, fanin=fanin
+    )
+
+
+def kll_partials(
+    df: DataFrame, value_col: str, by: Sequence[str] = (), k: int = 200
+) -> DataFrame:
+    """Stage 1 only — batch building block and streaming partials_fn.
+    NULL/NaN excluded JVM-side (see kll_agg)."""
     v = F.col(value_col).cast("double")
-    partials = _generic_partials(
+    return _generic_partials(
         df.where(~F.isnan(v)),
         by,
         [v],
@@ -299,7 +324,6 @@ def kll_agg(
         lambda s, c: s.update(c[0]),
         notnull_cols=[value_col],
     )
-    return _merge_stage(partials, by, KLL.from_bytes, fanin=fanin)
 
 
 @pandas_udf(DoubleType())
@@ -386,7 +410,26 @@ def cms_agg(
                 f"cms_agg weight column must be integral, got "
                 f"{dt.simpleString()} — cast explicitly"
             )
-    partials = _generic_partials(
+    return _merge_stage(
+        cms_partials(df, cols, by, d, w, weight_col),
+        by,
+        CountMinSketch.from_bytes,
+        fanin=fanin,
+    )
+
+
+def cms_partials(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+    d: int = 5,
+    w: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Stage 1 only — batch building block and streaming partials_fn.
+    NB: call through cms_agg (or validate weights yourself) — the
+    integral-weight gate lives there."""
+    return _generic_partials(
         df,
         by,
         [_hash_cols(cols)],
@@ -397,7 +440,6 @@ def cms_agg(
         weight_col=weight_col,
         notnull_cols=cols,
     )
-    return _merge_stage(partials, by, CountMinSketch.from_bytes, fanin=fanin)
 
 
 @pandas_udf(LongType())

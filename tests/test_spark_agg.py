@@ -423,3 +423,42 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
     jq.collect()
     jplan = jq._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in jplan
+
+
+def test_weighted_rollup_exact_vs_sql(spark):
+    """weight_col threads through rollup levels: every level's count and
+    weighted mean stay exact vs GROUP BY ROLLUP with weights."""
+    import duckdb
+
+    from go_tdigest_spark.functions import td_count, td_trimmed_mean
+    from go_tdigest_spark.operators import tdigest_rollup
+
+    li = table(spark, SF_TINY, "lineitem").withColumn(
+        "qty_w", F.floor("l_quantity").cast("long")
+    )
+    d = tdigest_rollup(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"],
+        weight_col="qty_w",
+    )
+    got = d.select(
+        "l_returnflag",
+        "l_linestatus",
+        td_count("digest").alias("w"),
+        F.round(td_trimmed_mean("digest", 0.0, 1.0), 4).alias("w_mean"),
+    ).toPandas()
+    want = duckdb.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w,
+               round(sum(l_extendedprice * floor(l_quantity))
+                     / sum(floor(l_quantity)), 4) AS w_mean
+        FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """
+    ).fetchdf()
+    key = ["l_returnflag", "l_linestatus"]
+    g = got.fillna("~").sort_values(key).reset_index(drop=True)
+    w = want.fillna("~").sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["w"].to_numpy() == w["w"].to_numpy()).all()
+    assert np.allclose(g["w_mean"].astype(float), w["w_mean"].astype(float))
