@@ -120,9 +120,10 @@ def main() -> None:
             "pass": sc.get("pass"),
             "max_rank_error_vs_exact": sc.get("accuracy", {}).get("max_rank_error"),
         }
-    except (OSError, ValueError):
-        # enrichment only — a missing/drifted scaling file must never
-        # discard the just-measured query timings
+    except (OSError, ValueError, TypeError, AttributeError, KeyError):
+        # enrichment only — a missing/drifted scaling file (wrong shape,
+        # null sub-objects, non-dict top level) must never discard the
+        # just-measured query timings
         pass
     spark.stop()
     print(json.dumps(result))

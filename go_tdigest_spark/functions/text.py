@@ -203,21 +203,12 @@ def text_features(df, text_col: str, id_col: str, extra_cols: tuple = ()):
             langs = []
             quality = np.empty(m, dtype=np.float64)
 
-            # fingerprint: one utf-32 encode for the batch, column-wise
-            # polynomial over codepoints
-            lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=m)
-            cps = np.frombuffer(
-                "".join(texts).encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            offs = np.zeros(m + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
-            fp = np.zeros(m, dtype=np.int64)
-            max_len = int(lens.max()) if m else 0
-            for j in range(max_len):
-                active = lens > j
-                fp[active] = (
-                    fp[active] * FP_BASE + cps[offs[:-1][active] + j]
-                ) % FP_MOD
+            # fingerprint: the shared column-wise polynomial kernel
+            # (one utf-32 encode per batch; empty text hashes to 0,
+            # matching the frag's CASE guard)
+            from go_tdigest_spark.operators._batch import poly_hash_batch
+
+            fp = poly_hash_batch(texts, FP_BASE, FP_MOD)
 
             for i, t in enumerate(texts):
                 toks = py_token_count(t)

@@ -22,6 +22,8 @@ beside the Spark expressions.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -56,16 +58,11 @@ def minhash_params(n_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
 # engines.  Every dedup kernel MUST tokenize via py_words/py_shingles so
 # the rule cannot fork (round-2 review finding).
 
-_WS_RE = None
+_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def py_words(text: str) -> list[str]:
     """Python twin of words_frag: lowercase, ASCII-\\s+ split, no empties."""
-    global _WS_RE
-    if _WS_RE is None:
-        import re
-
-        _WS_RE = re.compile(r"\s+", re.ASCII)
     return [w for w in _WS_RE.split(text.lower()) if w]
 
 
@@ -387,19 +384,18 @@ def minhash_signatures(
 
     def gen(batches):
         for batch in batches:
-            ids = batch.column(0).to_pylist()
             texts = batch.column(1).to_pylist()
-            doc_ids = []
+            doc_pos: list[int] = []
             all_shingles: list[str] = []
             doc_bounds = [0]
             for i, t in enumerate(texts):
                 sh = py_shingles(t, n)
                 if not sh:
                     continue
-                doc_ids.append(ids[i])
+                doc_pos.append(i)
                 all_shingles.extend(sh)
                 doc_bounds.append(doc_bounds[-1] + len(sh))
-            if not doc_ids:
+            if not doc_pos:
                 continue
             # column-wise polynomial hash over the whole batch's shingles
             # (codepoints == SQL ascii())
@@ -408,18 +404,24 @@ def minhash_signatures(
             h = poly_hash_batch(all_shingles, FP_BASE, FP_MOD)
             # affine permutations + per-doc segment minima
             starts = np.asarray(doc_bounds[:-1])
-            sig = np.empty((len(doc_ids), a_vec.size), dtype=np.int64)
+            sig = np.empty((len(doc_pos), a_vec.size), dtype=np.int64)
             for p in range(a_vec.size):
                 hp = (a_vec[p] * h + b_vec[p]) % MH_PRIME
                 sig[:, p] = np.minimum.reduceat(hp, starts)
             offsets32 = np.arange(
-                0, (len(doc_ids) + 1) * a_vec.size, a_vec.size, dtype=np.int32
+                0, (len(doc_pos) + 1) * a_vec.size, a_vec.size, dtype=np.int32
             )
             sig_arr = pa.ListArray.from_arrays(
                 pa.array(offsets32), pa.array(sig.ravel(), type=pa.int64())
             )
             yield pa.RecordBatch.from_arrays(
-                [pa.array(doc_ids), sig_arr], names=["doc", "sig"]
+                [
+                    # take() keeps the declared id type (int32 ids would
+                    # otherwise be re-inferred as int64)
+                    batch.column(0).take(pa.array(doc_pos, type=pa.int64())),
+                    sig_arr,
+                ],
+                names=["doc", "sig"],
             )
 
     return pruned.mapInArrow(gen, f"doc {id_dt}, sig array<long>")
@@ -436,9 +438,17 @@ def cap_lsh_buckets(
     self-join, so no extra exchange shape is introduced."""
     if max_bucket_size is None:
         return banded
-    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bs"))
-    keep = sizes.where(F.col("_bs") <= max_bucket_size).select(*keys)
-    return banded.join(keep, keys, "left_semi")
+    from pyspark.sql.window import Window
+
+    # window count, NOT an agg + semi-join: the join form would evaluate
+    # the (expensive, uncached) banded lineage a third time; the window
+    # shuffles once on the same keys the subsequent self-join uses
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bs", F.count(F.lit(1)).over(w))
+        .where(F.col("_bs") <= max_bucket_size)
+        .drop("_bs")
+    )
 
 
 def minhash_lsh_pairs(

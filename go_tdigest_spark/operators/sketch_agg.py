@@ -253,12 +253,31 @@ def bloom_agg(
     )
 
 
+def _probe_hashes(h: pd.Series, fn_name: str) -> np.ndarray:
+    """int64 probe hashes, guarded against the pandas NULL trap: a hash
+    column containing ANY null arrives from Arrow as float64, which
+    rounds every other ~2^63 xxhash64 value in the batch (float64 has a
+    53-bit mantissa) BEFORE the UDF body can react — silently probing
+    wrong positions for all rows.  Refuse loudly instead; the Column API
+    wrappers coalesce NULLs JVM-side so they never hit this path."""
+    if h.dtype.kind == "f":
+        if h.isna().all():
+            return np.zeros(len(h), dtype=np.int64)  # caller NULL-masks all
+        raise RuntimeError(
+            f"{fn_name}: NULL probe hashes reached the vectorized kernel "
+            "(pandas converts a nullable int64 column to lossy float64). "
+            "Wrap the call as CASE WHEN h IS NULL THEN NULL ELSE "
+            f"{fn_name}(sketch, coalesce(h, 0)) END — the Column API does "
+            "this automatically."
+        )
+    return h.to_numpy(dtype=np.int64)
+
+
 @pandas_udf(BooleanType())
 def _bloom_might_contain_udf(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
     # probe joins repeat the same (broadcast) sketch across many rows:
     # decode each distinct sketch ONCE per batch, then probe all of
-    # its rows through the vectorized kernel.  NULL sketch or NULL
-    # probe hash -> NULL result (SQL semantics), never a probe of 0.
+    # its rows through the vectorized kernel.  NULL sketch -> NULL.
     # Module-level so the Column API and spark.udf.register share ONE
     # implementation (no per-row-decode SQL twin drifting beside it).
     out = pd.Series(np.zeros(len(s), dtype=object), index=s.index)
@@ -266,8 +285,8 @@ def _bloom_might_contain_udf(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Ser
     out[nulls] = None
     live = s[~nulls]
     groups = live.groupby(live.map(bytes)).groups
-    h1v = a.to_numpy(dtype=np.int64, na_value=0)
-    h2v = b.to_numpy(dtype=np.int64, na_value=0)
+    h1v = _probe_hashes(a, "bloom_might_contain")
+    h2v = _probe_hashes(b, "bloom_might_contain")
     pos = {ix: i for i, ix in enumerate(s.index)}
     for buf, idx in groups.items():
         bf = BloomFilter.from_bytes(buf)
@@ -279,8 +298,17 @@ def _bloom_might_contain_udf(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Ser
 
 def bloom_might_contain(sketch: Column | str, h1: Column, h2: Column) -> Column:
     """Membership probe; pass ``xxhash64(value)`` and
-    ``xxhash64(value, lit(1))`` — the same expressions used at build."""
-    return _bloom_might_contain_udf(sketch, h1, h2)
+    ``xxhash64(value, lit(1))`` — the same expressions used at build.
+
+    NULLs are masked JVM-side (coalesce into the kernel, CASE back to
+    NULL) so the int64 hash columns reach Python null-free — see
+    _probe_hashes for why that matters."""
+    sk = F.col(sketch) if isinstance(sketch, str) else sketch
+    anynull = sk.isNull() | h1.isNull() | h2.isNull()
+    probe = _bloom_might_contain_udf(
+        sk, F.coalesce(h1, F.lit(0)), F.coalesce(h2, F.lit(0))
+    )
+    return F.when(~anynull, probe)
 
 
 # ------------------------------------------------------------------ KLL
@@ -451,7 +479,7 @@ def _cms_point_query_udf(s: pd.Series, hh: pd.Series) -> pd.Series:
     out[nulls] = None
     live = s[~nulls]
     groups = live.groupby(live.map(bytes)).groups
-    hv = hh.to_numpy(dtype=np.int64, na_value=0)
+    hv = _probe_hashes(hh, "cms_point_query")
     pos = {ix: i for i, ix in enumerate(s.index)}
     for buf, idx in groups.items():
         cms = CountMinSketch.from_bytes(buf)
@@ -463,5 +491,7 @@ def _cms_point_query_udf(s: pd.Series, hh: pd.Series) -> pd.Series:
 
 def cms_point_query(sketch: Column | str, h: Column) -> Column:
     """Estimated frequency of the item whose build-side hash is ``h``
-    (= ``xxhash64(value)``)."""
-    return _cms_point_query_udf(sketch, h)
+    (= ``xxhash64(value)``).  NULLs masked JVM-side (see _probe_hashes)."""
+    sk = F.col(sketch) if isinstance(sketch, str) else sketch
+    anynull = sk.isNull() | h.isNull()
+    return F.when(~anynull, _cms_point_query_udf(sk, F.coalesce(h, F.lit(0))))

@@ -553,3 +553,37 @@ def test_sketch_sql_function_registration(spark):
         f"xxhash64({some_user}L, 1)) h FROM blm_t"
     ).collect()[0]["h"]
     assert hit is True
+
+
+def test_probe_precision_survives_null_in_batch(spark):
+    """One NULL hash in a probe batch must not corrupt the other rows:
+    pandas would convert the whole int64 hash column to float64 (lossy
+    above 2^53) — the Column API masks NULLs JVM-side so the kernel only
+    ever sees exact int64 hashes."""
+    from go_tdigest_spark.operators.sketch_agg import (
+        bloom_might_contain,
+        cms_point_query,
+    )
+
+    # hashes near 2^63 where float64 rounding would move bit positions
+    big = [(1 << 62) + 1, (1 << 62) + 3, -((1 << 62) + 5)]
+    h1 = np.array(big, dtype=np.int64)
+    h2 = h1 + 7
+    bf = BloomFilter(1 << 16, 5)
+    bf.update_hashes(h1, h2)
+    cms = CountMinSketch(5, 4096)
+    cms.update_hashes(h1)
+
+    rows = [(bf.to_bytes(), cms.to_bytes(), int(a), int(b)) for a, b in zip(h1, h2)]
+    rows.append((bf.to_bytes(), cms.to_bytes(), None, None))
+    df = spark.createDataFrame(rows, "bl binary, cm binary, h1 long, h2 long")
+    out = df.select(
+        bloom_might_contain("bl", F.col("h1"), F.col("h2")).alias("maybe"),
+        cms_point_query("cm", F.col("h1")).alias("freq"),
+    ).collect()
+    # inserted keys MUST be found (no false negatives) despite the NULL
+    # row sharing their batch
+    for r in out[:3]:
+        assert r["maybe"] is True
+        assert r["freq"] >= 1
+    assert out[3]["maybe"] is None and out[3]["freq"] is None
