@@ -476,6 +476,15 @@ def _q_cms_supplier_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import heavy_hitters
+
+    ev = table(spark, sf_dir, "events")
+    # sketch-driven but EXACT: MG candidates + one verification pass ==
+    # GROUP BY HAVING count >= ceil(phi*N) (see heavy_hitters docstring)
+    return heavy_hitters(ev, ["user_id"], phi=0.0055)
+
+
 def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_tdigest_spark.operators import bloom_agg, bloom_might_contain
 
@@ -540,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_stats_lineitem": _q_kll_stats_lineitem,
         "hll_distinct_users": _q_hll_distinct_users,
         "cms_supplier_freq": _q_cms_supplier_freq,
+        "heavy_hitter_users": _q_heavy_hitter_users,
         "bloom_membership": _q_bloom_membership,
         "multimodal_meta": _q_multimodal_meta,
     }
@@ -712,6 +722,13 @@ def oracle_sql() -> dict[str, str]:
                    min(l_extendedprice) AS min_price,
                    max(l_extendedprice) AS max_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "heavy_hitter_users": """
+            SELECT user_id, count(*) AS cnt
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+            HAVING count(*) >= ceil(0.0055 * (
+                SELECT count(user_id) FROM events))
         """,
         "pipeline_curation": f"""
             WITH feats AS (

@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sketches import HLL, KLL, BloomFilter, CountMinSketch
+from ..sketches import HLL, KLL, BloomFilter, CountMinSketch, MisraGries
 
 
 def _hash_cols(cols: Sequence[str], seed_salt: int = 0):
@@ -397,6 +397,82 @@ def kll_cdf(sketch: Column | str, x: float) -> Column:
 
 def kll_count(sketch: Column | str) -> Column:
     return _kll_count_udf(sketch)
+
+
+# ----------------------------------------------------------- Misra-Gries
+
+
+def mg_partials(
+    df: DataFrame, cols: Sequence[str], by: Sequence[str] = (), k: int = 64
+) -> DataFrame:
+    """Stage 1 only — batch building block and streaming partials_fn."""
+    return _generic_partials(
+        df,
+        by,
+        [_hash_cols(cols)],
+        lambda: MisraGries(k),
+        lambda s, c: s.update_hashes(c[0]),
+        notnull_cols=cols,
+    )
+
+
+def mg_agg(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+    k: int = 64,
+    fanin: int | None = 64,
+) -> DataFrame:
+    """Frequent-items summary of the tuple ``cols`` per group
+    (Misra-Gries, mergeable; counters undercount by at most the
+    sketch's ``err`` <= N/(k+1))."""
+    return _merge_stage(
+        mg_partials(df, cols, by, k), by, MisraGries.from_bytes, fanin=fanin
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    cols: Sequence[str],
+    phi: float,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy-hitters in two passes: a Misra-Gries sketch pass
+    proposes candidates, one targeted verification pass counts them
+    exactly.  Output = precisely the tuples with
+    count >= ceil(phi * N) over non-NULL rows — hash-checkable against
+    ``GROUP BY ... HAVING count(*) >= ceil(phi * N)`` even though a
+    sketch drove the search.
+
+    Why it is exact: MG counters never overcount and undercount by at
+    most ``err <= N/(k+1)``; with ``k >= 2/phi`` every true phi-heavy
+    tuple keeps a counter >= threshold - err, so the candidate set is a
+    SUPERSET of the answer and exact verification only removes false
+    positives.  At 100 TB this replaces a full groupBy over all distinct
+    tuples with one O(k) sketch + a semi-filtered aggregation over
+    candidate rows only; the single collected sketch row is O(k) bytes.
+    """
+    import math
+
+    if not 0.0 < phi < 1.0:
+        raise ValueError("phi must be in (0, 1)")
+    k = k or max(8, int(math.ceil(2.0 / phi)))
+    row = mg_agg(df, cols, by=[], k=k).collect()[0]
+    mg = MisraGries.from_bytes(bytes(row["sketch"]))
+    thresh = int(math.ceil(phi * mg.total))
+    cand_h, _ = mg.candidates(max(1, thresh - mg.err))
+    cand = [int(x) for x in cand_h]
+    cond = None
+    for c in cols:
+        cur = F.col(c).isNotNull()
+        cond = cur if cond is None else cond & cur
+    out = df.where(cond) if cond is not None else df
+    return (
+        out.where(_hash_cols(cols).isin(cand) if cand else F.lit(False))
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= thresh)
+    )
 
 
 # ------------------------------------------------------------------ CMS

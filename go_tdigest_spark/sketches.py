@@ -20,7 +20,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["HLL", "BloomFilter", "CountMinSketch", "KLL", "clz64"]
+__all__ = ["HLL", "BloomFilter", "CountMinSketch", "KLL", "MisraGries", "clz64"]
 
 _U64 = np.uint64
 
@@ -149,6 +149,118 @@ class BloomFilter:
         out.bits = np.frombuffer(
             buf, dtype=np.uint8, count=n_bits // 8, offset=12
         ).copy()
+        return out
+
+
+class MisraGries:
+    """Misra-Gries frequent-items summary over pre-hashed items, in the
+    mergeable formulation (Agarwal et al., "Mergeable Summaries"): keep
+    at most ``k`` (hash, counter) pairs; on overflow subtract the
+    (m-k)-th smallest counter from every entry and drop the non-positive
+    ones.  Deterministic, no RNG.
+
+    Guarantees (classic): counters never OVERcount; the cumulative
+    subtracted offset ``err`` satisfies err <= N/(k+1), so every item
+    with true frequency > N/(k+1) survives with
+    count >= true - err.  That recall guarantee is what makes the
+    candidates -> exact-verify heavy-hitters pipeline EXACT end to end
+    (choose k >= ceil(1/phi) and no phi-heavy item can be missed).
+    """
+
+    MAGIC = b"MGS1"
+
+    def __init__(self, k: int = 64) -> None:
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.hashes = np.empty(0, dtype=np.int64)
+        self.counts = np.empty(0, dtype=np.int64)
+        self.total = 0
+        self.err = 0
+
+    @staticmethod
+    def _combine(
+        h1: np.ndarray, c1: np.ndarray, h2: np.ndarray, c2: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        h = np.concatenate([h1, h2])
+        c = np.concatenate([c1, c2])
+        order = np.argsort(h, kind="stable")
+        hs, cs = h[order], c[order]
+        first = np.ones(hs.size, dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        idx = np.nonzero(first)[0]
+        return hs[idx], np.add.reduceat(cs, idx)
+
+    def _prune(self) -> None:
+        m = self.hashes.size
+        if m <= self.k:
+            return
+        # (m-k)-th smallest counter: subtracting it drops >= m-k entries
+        offset = int(np.partition(self.counts, m - self.k - 1)[m - self.k - 1])
+        self.counts = self.counts - offset
+        keep = self.counts > 0
+        self.hashes = self.hashes[keep]
+        self.counts = self.counts[keep]
+        self.err += offset
+
+    def update_hashes(self, h: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if counts is None:
+            uh, uc = np.unique(h.astype(np.int64), return_counts=True)
+        else:
+            c = np.asarray(counts).astype(np.int64)
+            if c.size and int(c.min()) <= 0:
+                raise ValueError("MG counts must be > 0")
+            order = np.argsort(h, kind="stable")
+            hs, cs = h[order].astype(np.int64), c[order]
+            first = np.ones(hs.size, dtype=bool)
+            first[1:] = hs[1:] != hs[:-1]
+            idx = np.nonzero(first)[0]
+            uh, uc = hs[idx], np.add.reduceat(cs, idx)
+        self.hashes, self.counts = self._combine(
+            self.hashes, self.counts, uh, uc.astype(np.int64)
+        )
+        self.total += int(uc.sum())
+        self._prune()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if other.k != self.k:
+            raise ValueError("cannot merge MG summaries with different k")
+        self.hashes, self.counts = self._combine(
+            self.hashes, self.counts, other.hashes, other.counts
+        )
+        self.total += other.total
+        self.err += other.err
+        self._prune()
+        return self
+
+    def candidates(self, min_count: int = 1) -> tuple[np.ndarray, np.ndarray]:
+        """(hashes, lower-bound counts) with count >= min_count; every
+        item with true frequency >= min_count + err is guaranteed in."""
+        keep = self.counts >= min_count
+        return self.hashes[keep], self.counts[keep]
+
+    def to_bytes(self) -> bytes:
+        return (
+            self.MAGIC
+            + struct.pack("<iqqi", self.k, self.total, self.err, self.hashes.size)
+            + self.hashes.astype("<i8").tobytes()
+            + self.counts.astype("<i8").tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "MisraGries":
+        if buf[:4] != cls.MAGIC:
+            raise ValueError("not an MG payload")
+        k, total, err, m = struct.unpack_from("<iqqi", buf, 4)
+        out = cls(k)
+        out.total = total
+        out.err = err
+        off = 4 + struct.calcsize("<iqqi")
+        out.hashes = np.frombuffer(buf, dtype="<i8", count=m, offset=off).copy()
+        off += 8 * m
+        out.counts = np.frombuffer(buf, dtype="<i8", count=m, offset=off).copy()
+        if off + 8 * m != len(buf):
+            raise ValueError("trailing bytes in MG payload")
         return out
 
 

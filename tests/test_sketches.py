@@ -587,3 +587,86 @@ def test_probe_precision_survives_null_in_batch(spark):
         assert r["maybe"] is True
         assert r["freq"] >= 1
     assert out[3]["maybe"] is None and out[3]["freq"] is None
+
+
+# ------------------------------------------------------------ Misra-Gries
+
+
+def test_mg_guarantees_and_merge():
+    from go_tdigest_spark.sketches import MisraGries
+
+    rng = np.random.default_rng(5)
+    heavy = np.repeat(np.arange(5), [50_000, 30_000, 20_000, 9_000, 6_000])
+    tail = rng.integers(1000, 200_000, size=100_000)
+    data = np.concatenate([heavy, tail])
+    rng.shuffle(data)
+    n = data.size
+    vals, cnts = np.unique(data, return_counts=True)
+    truth = dict(zip(vals.tolist(), cnts.tolist()))
+
+    import random
+
+    parts = np.array_split(data, 64)
+
+    def build(order, k):
+        sks = []
+        for i in order:
+            m = MisraGries(k)
+            m.update_hashes(parts[i])
+            sks.append(m)
+        out = sks[0]
+        for m in sks[1:]:
+            out.merge(m)
+        return out
+
+    order = list(range(64))
+    random.Random(3).shuffle(order)
+    for mg in (build(list(range(64)), 32), build(order, 32)):
+        assert mg.total == n
+        assert mg.hashes.size <= 32
+        for h, c in zip(mg.hashes, mg.counts):
+            t = truth[int(h)]
+            assert c <= t  # never overcounts
+            assert c >= t - mg.err  # undercount bounded by err
+        surv = {int(x) for x in mg.hashes}
+        for v, t in truth.items():
+            if t > mg.err:
+                assert v in surv  # recall guarantee
+
+    mg = build(list(range(64)), 32)
+    r = MisraGries.from_bytes(mg.to_bytes())
+    assert r.to_bytes() == mg.to_bytes() and r.total == mg.total
+    with pytest.raises(ValueError):
+        MisraGries.from_bytes(mg.to_bytes() + b"x")
+    with pytest.raises(ValueError):
+        MisraGries(32).merge(MisraGries(16))
+    with pytest.raises(ValueError):
+        MisraGries(4).update_hashes(
+            np.array([1], dtype=np.int64), np.array([0], dtype=np.int64)
+        )
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """Sketch-driven candidates + exact verify == plain GROUP BY HAVING,
+    including on a skewed distribution where MG actually prunes."""
+    from go_tdigest_spark.operators import heavy_hitters
+
+    rng = np.random.default_rng(9)
+    heavy = np.repeat(np.arange(4), [4000, 2500, 1200, 700])
+    tail = rng.integers(100, 20_000, size=12_000)
+    data = np.concatenate([heavy, tail])
+    rng.shuffle(data)
+    df = spark.createDataFrame([(int(x),) for x in data], "item long")
+
+    for phi, k in ((0.02, None), (0.05, 16)):
+        got = {
+            (r["item"], r["cnt"])
+            for r in heavy_hitters(df, ["item"], phi=phi, k=k).collect()
+        }
+        thresh = int(np.ceil(phi * data.size))
+        vals, cnts = np.unique(data, return_counts=True)
+        want = {
+            (int(v), int(c)) for v, c in zip(vals, cnts) if c >= thresh
+        }
+        assert got == want, (phi, k)
+        assert len(want) > 0  # discriminative fixture
