@@ -670,3 +670,43 @@ def test_heavy_hitters_exact_vs_groupby(spark):
         }
         assert got == want, (phi, k)
         assert len(want) > 0  # discriminative fixture
+
+
+def test_mg_guarantees_survive_salted_tree(spark):
+    """MG is not byte-deterministic across merge-tree shapes (prune
+    order differs), so the salted-tree assert is the GUARANTEE, not
+    equality: never overcount, undercount <= err, recall above err."""
+    from go_tdigest_spark.operators.sketch_agg import _merge_stage
+    from go_tdigest_spark.sketches import MisraGries
+
+    rng = np.random.default_rng(13)
+    heavy = np.repeat(np.arange(3), [30_000, 15_000, 8_000])
+    tail = rng.integers(100, 50_000, size=40_000)
+    data = np.concatenate([heavy, tail])
+    rng.shuffle(data)
+    parts = np.array_split(data, 200)
+    rows = []
+    for chunk in parts:
+        m = MisraGries(32)
+        m.update_hashes(chunk)
+        rows.append((m.to_bytes(), len(chunk)))
+    partials = spark.createDataFrame(
+        rows, "sketch binary, n_rows long"
+    ).repartition(200)
+
+    merged = _merge_stage(partials, [], MisraGries.from_bytes, fanin=8)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") >= 3  # >=2 salted levels
+    row = merged.collect()[0]
+    mg = MisraGries.from_bytes(bytes(row["sketch"]))
+    assert mg.total == data.size and row["n_rows"] == data.size
+
+    vals, cnts = np.unique(data, return_counts=True)
+    truth = dict(zip(vals.tolist(), cnts.tolist()))
+    for h, c in zip(mg.hashes, mg.counts):
+        t = truth[int(h)]
+        assert c <= t and c >= t - mg.err
+    surv = {int(x) for x in mg.hashes}
+    for v, t in truth.items():
+        if t > mg.err:
+            assert v in surv
