@@ -436,42 +436,73 @@ def heavy_hitters(
     cols: Sequence[str],
     phi: float,
     k: int | None = None,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """EXACT phi-heavy-hitters in two passes: a Misra-Gries sketch pass
     proposes candidates, one targeted verification pass counts them
     exactly.  Output = precisely the tuples with
-    count >= ceil(phi * N) over non-NULL rows — hash-checkable against
-    ``GROUP BY ... HAVING count(*) >= ceil(phi * N)`` even though a
-    sketch drove the search.
+    count >= ceil(phi * N_group) over non-NULL rows (N_group = that
+    group's row count; one global group when ``by`` is empty) —
+    hash-checkable against ``GROUP BY ... HAVING`` even though a sketch
+    drove the search.
 
     Why it is exact: MG counters never overcount and undercount by at
     most ``err <= N/(k+1)``; with ``k >= 2/phi`` every true phi-heavy
     tuple keeps a counter >= threshold - err, so the candidate set is a
     SUPERSET of the answer and exact verification only removes false
-    positives.  At 100 TB this replaces a full groupBy over all distinct
-    tuples with one O(k) sketch + a semi-filtered aggregation over
-    candidate rows only; the single collected sketch row is O(k) bytes.
+    positives (a hash collision merely lets a non-candidate tuple into
+    verification, where its exact count filters it).  Fully distributed:
+    nothing collects to the driver — the O(groups x k) candidate table
+    explodes out of the sketch rows and broadcast-joins back onto the
+    input, replacing a full distinct-tuple groupBy with a semi-filtered
+    aggregation over candidate rows only.
     """
     import math
 
     if not 0.0 < phi < 1.0:
         raise ValueError("phi must be in (0, 1)")
+    by = list(by)
     k = k or max(8, int(math.ceil(2.0 / phi)))
-    row = mg_agg(df, cols, by=[], k=k).collect()[0]
-    mg = MisraGries.from_bytes(bytes(row["sketch"]))
-    thresh = int(math.ceil(phi * mg.total))
-    cand_h, _ = mg.candidates(max(1, thresh - mg.err))
-    cand = [int(x) for x in cand_h]
+    sk = mg_agg(df, cols, by=by, k=k)
+
+    @pandas_udf("struct<cands: array<long>, thresh: long>")
+    def _cand_struct(s: pd.Series) -> pd.DataFrame:
+        cands, threshes = [], []
+        for b in s:
+            mg = MisraGries.from_bytes(bytes(b))
+            thresh = int(math.ceil(phi * mg.total))
+            hs, _ = mg.candidates(max(1, thresh - mg.err))
+            cands.append([int(x) for x in hs])
+            threshes.append(thresh)
+        return pd.DataFrame({"cands": cands, "thresh": threshes})
+
+    cand = sk.select(
+        *by, _cand_struct("sketch").alias("_i")
+    ).select(
+        *by,
+        F.col("_i.thresh").alias("_thresh"),
+        F.explode("_i.cands").alias("_ch"),
+    )
+
     cond = None
     for c in cols:
         cur = F.col(c).isNotNull()
         cond = cur if cond is None else cond & cur
-    out = df.where(cond) if cond is not None else df
+    base = (df.where(cond) if cond is not None else df).withColumn(
+        "_ch", _hash_cols(cols)
+    )
+    h, c = base.alias("h"), cand.alias("c")
+    on = [F.col(f"h.{x}").eqNullSafe(F.col(f"c.{x}")) for x in by] + [
+        F.col("h._ch") == F.col("c._ch")
+    ]
+    joined = h.join(F.broadcast(c), on, "inner").select(
+        *[F.col(f"h.{x}") for x in by + list(cols)], F.col("c._thresh")
+    )
     return (
-        out.where(_hash_cols(cols).isin(cand) if cand else F.lit(False))
-        .groupBy(*cols)
+        joined.groupBy(*(by + list(cols)), "_thresh")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= thresh)
+        .where(F.col("cnt") >= F.col("_thresh"))
+        .drop("_thresh")
     )
 
 

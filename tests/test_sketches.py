@@ -710,3 +710,39 @@ def test_mg_guarantees_survive_salted_tree(spark):
     for v, t in truth.items():
         if t > mg.err:
             assert v in surv
+
+
+def test_heavy_hitters_grouped(spark):
+    """Per-group heavy hitters: thresholds are per-group row counts and
+    results stay exact vs pandas ground truth."""
+    from go_tdigest_spark.operators import heavy_hitters
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for g, heavy_item, n_heavy, n_tail in (
+        ("a", 1, 500, 600),
+        ("b", 2, 50, 2000),
+    ):
+        rows += [(g, heavy_item)] * n_heavy
+        rows += [(g, int(x)) for x in rng.integers(100, 5000, size=n_tail)]
+    df = spark.createDataFrame(rows, "g string, item long")
+
+    got = {
+        (r["g"], r["item"], r["cnt"])
+        for r in heavy_hitters(df, ["item"], phi=0.1, by=["g"]).collect()
+    }
+    import collections
+
+    want = set()
+    per_group = collections.defaultdict(collections.Counter)
+    for g, it in rows:
+        per_group[g][it] += 1
+    for g, ctr in per_group.items():
+        n = sum(ctr.values())
+        thresh = int(np.ceil(0.1 * n))
+        for it, c in ctr.items():
+            if c >= thresh:
+                want.add((g, it, c))
+    assert got == want
+    assert any(g == "a" for g, _, _ in want)
+    assert not any(g == "b" for g, _, _ in want)  # b's heavy item is below 10%
