@@ -399,6 +399,7 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         "kll_stats_lineitem",
         "hll_distinct_users",
         "pipeline_curation",
+        "heavy_hitter_users",
     ]
     for name in hot:
         df = qs[name](spark, sf)
