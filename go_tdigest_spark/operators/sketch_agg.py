@@ -37,6 +37,18 @@ def _hash_cols(cols: Sequence[str], seed_salt: int = 0):
     return F.xxhash64(*base)
 
 
+def _notnull_cond(cols: Sequence[str]):
+    """Conjunction of IS NOT NULL over ``cols`` (None when empty) — the
+    single definition of which rows the sketch passes count, shared by
+    the partial builders and the heavy-hitters verification pass so the
+    two can never diverge."""
+    cond = None
+    for c in cols:
+        cur = F.col(c).isNotNull()
+        cond = cur if cond is None else cond & cur
+    return cond
+
+
 def _generic_partials(
     df: DataFrame,
     by: Sequence[str],
@@ -57,10 +69,9 @@ def _generic_partials(
     """
     by = list(by)
     n_h = len(hash_exprs)
-    cond = None
-    for c in list(notnull_cols) + ([weight_col] if weight_col else []):
-        cur = F.col(c).isNotNull()
-        cond = cur if cond is None else cond & cur
+    cond = _notnull_cond(
+        list(notnull_cols) + ([weight_col] if weight_col else [])
+    )
     if cond is not None:
         df = df.where(cond)
     proj = (
@@ -147,8 +158,11 @@ def _merge_stage(
     Same salted-level reduction as the t-digest path (_tree.py): without
     it, a global ``cms_agg(by=[])`` at d=5,w=4096 (~160 KB/partial) would
     funnel ~16 GB into one reducer at 100k input partitions.  HLL/CMS/
-    Bloom merges are exact (register-max / counter-add / bit-or), so the
-    tree produces byte-identical results to a flat merge in any order.
+    Bloom merges are exact (register-max / counter-add / bit-or) and
+    byte-identical to a flat merge in any order; KLL and Misra-Gries are
+    order-DEPENDENT in their bytes but carry their error guarantees
+    through any merge tree (pinned in tests) — do not assume bitwise
+    reproducibility across partition counts for those two.
     """
     from ._tree import tree_merge
 
@@ -447,22 +461,33 @@ def heavy_hitters(
     drove the search.
 
     Why it is exact: MG counters never overcount and undercount by at
-    most ``err <= N/(k+1)``; with ``k >= 2/phi`` every true phi-heavy
-    tuple keeps a counter >= threshold - err, so the candidate set is a
-    SUPERSET of the answer and exact verification only removes false
-    positives (a hash collision merely lets a non-candidate tuple into
-    verification, where its exact count filters it).  Fully distributed:
-    nothing collects to the driver — the O(groups x k) candidate table
-    explodes out of the sketch rows and broadcast-joins back onto the
-    input, replacing a full distinct-tuple groupBy with a semi-filtered
-    aggregation over candidate rows only.
+    most ``err <= N/(k+1)``; with ``k >= ceil(1/phi)`` (enforced; the
+    default uses 2/phi for margin) every true phi-heavy tuple keeps a
+    counter >= threshold - err, so the candidate set is a SUPERSET of
+    the answer and exact verification only removes false positives (a
+    hash collision merely lets a non-candidate tuple into verification,
+    where its exact count filters it).  A belt-and-braces runtime check
+    re-verifies err < threshold on the merged sketch.  Fully
+    distributed: nothing collects to the driver — the O(groups x k)
+    candidate table explodes out of the sketch rows and broadcast-joins
+    back onto the input, replacing a full distinct-tuple groupBy with a
+    semi-filtered aggregation over candidate rows only.
     """
     import math
 
     if not 0.0 < phi < 1.0:
         raise ValueError("phi must be in (0, 1)")
     by = list(by)
-    k = k or max(8, int(math.ceil(2.0 / phi)))
+    k_min = int(math.ceil(1.0 / phi))
+    if k is None:
+        k = max(8, int(math.ceil(2.0 / phi)))
+    elif k < k_min:
+        # err <= N/(k+1) must stay below thresh = ceil(phi*N), or a true
+        # heavy hitter can be evicted and silently missing from an
+        # "exact" result
+        raise ValueError(
+            f"k={k} cannot guarantee phi={phi} recall; need k >= {k_min}"
+        )
     sk = mg_agg(df, cols, by=by, k=k)
 
     @pandas_udf("struct<cands: array<long>, thresh: long>")
@@ -471,6 +496,11 @@ def heavy_hitters(
         for b in s:
             mg = MisraGries.from_bytes(bytes(b))
             thresh = int(math.ceil(phi * mg.total))
+            if mg.total and mg.err >= max(thresh, 1):
+                raise RuntimeError(
+                    f"MG error {mg.err} >= threshold {thresh}: the "
+                    "recall guarantee is void (k too small for phi)"
+                )
             hs, _ = mg.candidates(max(1, thresh - mg.err))
             cands.append([int(x) for x in hs])
             threshes.append(thresh)
@@ -484,10 +514,7 @@ def heavy_hitters(
         F.explode("_i.cands").alias("_ch"),
     )
 
-    cond = None
-    for c in cols:
-        cur = F.col(c).isNotNull()
-        cond = cur if cond is None else cond & cur
+    cond = _notnull_cond(cols)
     base = (df.where(cond) if cond is not None else df).withColumn(
         "_ch", _hash_cols(cols)
     )

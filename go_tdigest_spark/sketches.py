@@ -172,6 +172,10 @@ class MisraGries:
     def __init__(self, k: int = 64) -> None:
         if k < 1:
             raise ValueError("k must be >= 1")
+        if k > 2**31 - 1:
+            # the wire format packs k as int32; a too-small phi upstream
+            # must fail HERE, not as a struct.error inside an executor
+            raise ValueError(f"k={k} exceeds the int32 wire format")
         self.k = k
         self.hashes = np.empty(0, dtype=np.int64)
         self.counts = np.empty(0, dtype=np.int64)

@@ -658,7 +658,7 @@ def test_heavy_hitters_exact_vs_groupby(spark):
     rng.shuffle(data)
     df = spark.createDataFrame([(int(x),) for x in data], "item long")
 
-    for phi, k in ((0.02, None), (0.05, 16)):
+    for phi, k in ((0.02, None), (0.05, 20)):
         got = {
             (r["item"], r["cnt"])
             for r in heavy_hitters(df, ["item"], phi=phi, k=k).collect()
@@ -670,6 +670,13 @@ def test_heavy_hitters_exact_vs_groupby(spark):
         }
         assert got == want, (phi, k)
         assert len(want) > 0  # discriminative fixture
+
+    # a k too small for phi voids the recall guarantee -> rejected
+    with pytest.raises(ValueError, match="cannot guarantee"):
+        heavy_hitters(df, ["item"], phi=0.05, k=8)
+    with pytest.raises(ValueError):  # int32 wire-format bound on k
+        from go_tdigest_spark.sketches import MisraGries
+        MisraGries(2**31)
 
 
 def test_mg_guarantees_survive_salted_tree(spark):
