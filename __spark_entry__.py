@@ -183,7 +183,12 @@ def _q_td_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_tdigest_spark.operators import tdigest_rollup
 
     li = table(spark, sf_dir, "lineitem")
-    d = tdigest_rollup(li, "l_extendedprice", ["l_returnflag", "l_linestatus"])
+    # finest cardinality is 3x2 flags — the hint keeps the coarse merge
+    # single-level without a persist+count sizing action
+    d = tdigest_rollup(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"],
+        finest_groups_hint=16,
+    )
     return d.select(
         "l_returnflag",
         "l_linestatus",
@@ -197,7 +202,11 @@ def _q_td_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_tdigest_spark.operators import tdigest_cube
 
     orders = table(spark, sf_dir, "orders")
-    d = tdigest_cube(orders, "o_totalprice", ["o_orderstatus", "o_orderpriority"])
+    # finest cardinality is 3 statuses x 5 priorities
+    d = tdigest_cube(
+        orders, "o_totalprice", ["o_orderstatus", "o_orderpriority"],
+        finest_groups_hint=32,
+    )
     return d.select(
         "o_orderstatus",
         "o_orderpriority",

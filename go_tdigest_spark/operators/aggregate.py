@@ -264,6 +264,31 @@ def tdigest_agg(
     return merge_partials(partials, by, fanin=fanin)
 
 
+def _coarse_merge_bound(
+    finest: DataFrame, fanin: int | None, n_units_hint: int | None
+) -> tuple[DataFrame, int | None]:
+    """Bound the coarse-level merge fan-in for rollup/cube.
+
+    The finest level is post-shuffle output (one row per group, packed
+    arbitrarily across partitions), so the <=1-partial-per-partition
+    invariant tree_merge's level-0 partition-id salting relies on does
+    NOT hold — coarse merges must use the storage-read salting path,
+    which needs the partial row count (``n_units``).  Callers that know
+    the finest group count pass it as a hint; otherwise we persist the
+    finest level (it is small: one O(compression)-byte row per group,
+    and it is reused by every coarse level anyway) and count it once.
+    Without this bound a high-cardinality finest grouping would funnel
+    every digest into ONE grand-total reducer — the exact failure mode
+    mergeability (tdigest.go:262-272) exists to avoid.
+    """
+    if fanin is None:
+        return finest, None
+    if n_units_hint is not None:
+        return finest, n_units_hint
+    finest = finest.persist()
+    return finest, finest.count()
+
+
 def tdigest_cube(
     df: DataFrame,
     value_col: str,
@@ -272,11 +297,19 @@ def tdigest_cube(
     fanin: int | None = 64,
     weight_col: str | None = None,
     explode_arrays: bool = False,
+    finest_groups_hint: int | None = None,
 ) -> DataFrame:
     """CUBE over digests: one row per grouping combination (every subset
     of ``by``), rolled-up keys as NULL.  Like tdigest_rollup, every
     non-finest level is derived by merging finest-level digests — the
-    input is scanned exactly once regardless of 2^len(by) levels."""
+    input is scanned exactly once regardless of 2^len(by) levels (the
+    finest level is persisted unless ``finest_groups_hint`` is given).
+
+    Coarse levels merge through the same bounded-fan-in salted tree as
+    the finest aggregation (``n_units`` = finest group count, an upper
+    bound for every subset's row count), so a high-cardinality ``by``
+    cannot funnel all finest digests into one grand-total reducer.
+    """
     from itertools import combinations
 
     by = list(by)
@@ -296,10 +329,13 @@ def tdigest_cube(
         df, value_col, by, compression, weight_col=weight_col,
         explode_arrays=explode_arrays, fanin=fanin,
     )
+    finest, n_finest = _coarse_merge_bound(finest, fanin, finest_groups_hint)
     out = with_level_nulls(finest, by)
     for r in range(len(by) - 1, -1, -1):
         for subset in combinations(by, r):
-            level = merge_partials(finest, list(subset), fanin=None)
+            level = merge_partials(
+                finest, list(subset), fanin=fanin, n_units=n_finest
+            )
             out = out.unionByName(with_level_nulls(level, list(subset)))
     return out
 
@@ -312,6 +348,7 @@ def tdigest_rollup(
     fanin: int | None = 64,
     weight_col: str | None = None,
     explode_arrays: bool = False,
+    finest_groups_hint: int | None = None,
 ) -> DataFrame:
     """ROLLUP over digests: one row per grouping level of ``by`` (finest,
     each prefix, and the grand total), with rolled-up keys as NULL.
@@ -321,6 +358,13 @@ def tdigest_rollup(
     level is derived by merging child digests (tdigest.go:262-272) — no
     rescan, no extra shuffle of raw rows.  An exact aggregate would need
     Spark's rollup to rescan-or-expand each level.
+
+    Every coarse level merges through the bounded-fan-in salted tree
+    (``n_units`` = finest group count, an upper bound for each prefix
+    level since dropping keys only coarsens the grouping) — the grand
+    total is NOT a single-reducer funnel even when ``by`` is
+    high-cardinality.  Pass ``finest_groups_hint`` if the finest group
+    count is known to skip the persist+count sizing action.
     """
     by = list(by)
     by_fields = {f.name: f for f in df.schema.fields if f.name in set(by)}
@@ -341,11 +385,12 @@ def tdigest_rollup(
         df, value_col, by, compression, weight_col=weight_col,
         explode_arrays=explode_arrays, fanin=fanin,
     )
+    finest, n_finest = _coarse_merge_bound(finest, fanin, finest_groups_hint)
     levels = [with_level_nulls(finest, by)]
     cur = finest
     for i in range(len(by) - 1, -1, -1):
         keys = by[:i]
-        cur = merge_partials(cur, keys, fanin=None)
+        cur = merge_partials(cur, keys, fanin=fanin, n_units=n_finest)
         levels.append(with_level_nulls(cur, keys))
     out = levels[0]
     for lv in levels[1:]:

