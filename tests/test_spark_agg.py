@@ -409,6 +409,16 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         # ArrowEvalPython / MapInArrow / FlatMapGroupsInPandas instead
         assert "BatchEvalPython" not in plan, name
 
+    # the LSH+exact-verify dedup (VERDICT r2 #2): the only Python in the
+    # plan is the vectorized mapInArrow hashing kernels — the verify
+    # stage itself is pure Catalyst (joins + grouped counts), no
+    # per-pair MapInPandas
+    dj = qs["dedup_ngram_jaccard"](spark, sf)
+    dj.collect()
+    djplan = dj._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in djplan
+    assert "BatchEvalPython" not in djplan
+
     # scan-shape asserts on an sf no other test caches: Spark's cache
     # manager substitutes InMemoryRelation for matching logical plans,
     # which hides the FileScan pruning this test pins
