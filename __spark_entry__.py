@@ -511,6 +511,62 @@ def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import hll_agg
+
+    # companion to hll_distinct_users: n_rows is EXACT under merge
+    # (summed across partials/tree levels), so the full scan -> partial
+    # -> salted-tree pipeline is hash-checkable even though the HLL
+    # estimate itself is bounds-gated in pytest
+    ev = table(spark, sf_dir, "events")
+    return hll_agg(ev, ["user_id"], by=["event_type"]).select(
+        "event_type", "n_rows"
+    )
+
+
+def _q_cms_total_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import cms_agg, cms_total
+
+    # companion to cms_supplier_freq: both the pipeline row count and
+    # the IN-SKETCH total (serialized + summed on merge) are exact; a
+    # serde or merge defect in the CMS path breaks this hash match
+    li = table(spark, sf_dir, "lineitem")
+    sk = cms_agg(li, ["l_suppkey"], by=[], d=5, w=4096)
+    return sk.select(
+        F.col("n_rows").alias("n_added"),
+        cms_total("sketch").alias("sketch_total"),
+    )
+
+
+def _q_bloom_present_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import bloom_agg, bloom_might_contain
+
+    # companion to bloom_membership: probing only keys KNOWN present in
+    # each status's bloom must return true for every probe (no false
+    # negatives), so the per-status hit count equals exact
+    # count(DISTINCT) — an end-to-end build -> merge -> probe oracle
+    orders = table(spark, sf_dir, "orders")
+    blooms = bloom_agg(orders, ["o_custkey"], by=["o_orderstatus"])
+    probes = (
+        orders.where(F.col("o_custkey") < 200)
+        .select("o_orderstatus", "o_custkey")
+        .distinct()
+    )
+    return (
+        blooms.join(probes, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            bloom_might_contain(
+                "sketch",
+                F.xxhash64("o_custkey"),
+                F.xxhash64("o_custkey", F.lit(1)),
+            ).alias("maybe"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.col("maybe").cast("int")).alias("present_hits"))
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # opaque binary payloads (ASCII-sanitized so the oracle can sum
@@ -557,9 +613,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "kll_stats_lineitem": _q_kll_stats_lineitem,
         "hll_distinct_users": _q_hll_distinct_users,
+        "hll_users_exact": _q_hll_users_exact,
         "cms_supplier_freq": _q_cms_supplier_freq,
+        "cms_total_lineitem": _q_cms_total_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "bloom_membership": _q_bloom_membership,
+        "bloom_present_keys": _q_bloom_present_keys,
         "multimodal_meta": _q_multimodal_meta,
     }
 
@@ -731,6 +790,21 @@ def oracle_sql() -> dict[str, str]:
                    min(l_extendedprice) AS min_price,
                    max(l_extendedprice) AS max_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "hll_users_exact": """
+            SELECT event_type, count(user_id) AS n_rows
+            FROM events GROUP BY event_type
+        """,
+        "cms_total_lineitem": """
+            SELECT count(l_suppkey) AS n_added,
+                   count(l_suppkey) AS sketch_total
+            FROM lineitem
+        """,
+        "bloom_present_keys": """
+            SELECT o_orderstatus,
+                   count(DISTINCT o_custkey) AS present_hits
+            FROM orders WHERE o_custkey < 200
+            GROUP BY o_orderstatus
         """,
         "heavy_hitter_users": """
             SELECT user_id, count(*) AS cnt

@@ -629,3 +629,19 @@ def cms_point_query(sketch: Column | str, h: Column) -> Column:
     sk = F.col(sketch) if isinstance(sketch, str) else sketch
     anynull = sk.isNull() | h.isNull()
     return F.when(~anynull, _cms_point_query_udf(sk, F.coalesce(h, F.lit(0))))
+
+
+@pandas_udf(LongType())
+def _cms_total_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda b: None if b is None else CountMinSketch.from_bytes(bytes(b)).total
+    )
+
+
+def cms_total(sketch: Column | str) -> Column:
+    """EXACT total weight added to the sketch (tracked alongside the
+    counters and summed on merge) — the CMS analogue of kll_count: it
+    makes the scan -> partial -> tree-merge pipeline hash-checkable
+    against ``count(*)`` / ``sum(weight)`` even though point queries are
+    overcount-only estimates."""
+    return _cms_total_udf(sketch)
