@@ -79,8 +79,11 @@ def py_shingles(text: str, n: int) -> list[str]:
 
 def words_frag(col: str, dialect: str) -> str:
     if dialect == "spark":
-        return f"filter(split(lower({col}), '\\\\s+'), w -> w != '')"
-    return f"list_filter(string_split_regex(lower({col}), '\\s+'), w -> w != '')"
+        # explicit ASCII class on every engine: Java \s already equals
+        # [ \t\n\x0B\f\r] but RE2's \s OMITS \x0B (vertical tab), so the
+        # class is spelled out to keep the one-tokenization-rule contract
+        return f"filter(split(lower({col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'), w -> w != '')"
+    return f"list_filter(string_split_regex(lower({col}), '[ \\t\\n\\r\\f\\x0B]+'), w -> w != '')"
 
 
 def shingles_frag(col: str, n: int, dialect: str) -> str:

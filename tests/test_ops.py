@@ -776,6 +776,7 @@ def test_tokenization_parity_on_hostile_whitespace(spark):
         (4, "   "),                                   # whitespace-only
         (5, ""),                                      # empty
         (6, "THE QUICK brown fox JUMPS high"),        # case folding
+        (7, "a\vb the of, in. is!"),  # \v: in Python/Java \s, NOT RE2 \s
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     df = spark.createDataFrame(pdf, "doc_id long, text string")
@@ -794,7 +795,7 @@ def test_tokenization_parity_on_hostile_whitespace(spark):
         ).fetchall()
     }
     assert got == want
-    assert set(got) == {0, 1, 2, 3, 6}
+    assert set(got) == {0, 1, 2, 3, 6, 7}
     assert got[0] == got[1] == got[2] == got[6] != got[3]
 
     # inverted-index jaccard: full pair matrix matches the SQL twin
