@@ -927,12 +927,12 @@ def embedding_lsh_neardup(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    cos = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " 0.0D, (acc, z) -> acc + z)"
-    ) / (F.col("na") * F.col("nb"))
+    # exact cosine via the shared Arrow-batch re-rank kernel (no
+    # interpreted aggregate(zip_with) HOFs on the candidate path)
+    from .ann import cosine_rerank
+
     return (
-        cand.withColumn("cosine", F.round(cos, 4))
+        cosine_rerank(cand, ["doc_a", "doc_b"], "va", "vb", "na", "nb", dim)
+        .select("doc_a", "doc_b", F.round("_cos_raw", 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
-        .select("doc_a", "doc_b", "cosine")
     )

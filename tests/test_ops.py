@@ -869,3 +869,66 @@ def test_lsh_bucket_capping_drops_hot_buckets(spark):
     got = {(a, b) for a, b, _ in capped.itertuples(index=False)}
     assert (100, 101) in got  # small buckets unaffected
     assert not any(a < 100 and b < 100 for a, b in got)  # hot bucket gone
+
+
+def test_cosine_rerank_kernel_matches_expression_twin(spark):
+    """The shared Arrow-batch re-rank kernel accumulates the dot product
+    in the same left-to-right per-dimension order as the interpreted
+    aggregate(zip_with(...)) expression, so raw cosines must be
+    BIT-IDENTICAL (==, not allclose) on real embedding pairs."""
+    from go_tdigest_spark.operators.ann import (
+        _dot_frag,
+        _norm_frag,
+        cosine_rerank,
+    )
+
+    emb = table(spark, SF_TINY, "embeddings").limit(40)
+    feats = emb.select(
+        F.col("vec_id").alias("doc"),
+        F.col("embedding").alias("v"),
+        F.expr(_norm_frag("embedding")).alias("nrm"),
+    )
+    a = feats.select(
+        F.col("doc").alias("doc_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = feats.select(
+        F.col("doc").alias("doc_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    want = (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            (
+                F.expr(_dot_frag("va", "vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+        .toPandas()
+        .set_index(["doc_a", "doc_b"])["cos"]
+    )
+    got = (
+        cosine_rerank(pairs, ["doc_a", "doc_b"], "va", "vb", "na", "nb", 64)
+        .toPandas()
+        .set_index(["doc_a", "doc_b"])["_cos_raw"]
+    )
+    assert len(got) == len(want) > 500
+    assert (got.loc[want.index].to_numpy() == want.to_numpy()).all()
+
+
+def test_ann_lsh_plan_has_no_interpreted_hofs(spark):
+    """Executed plan of the driver ann_lsh_topk query: candidate re-rank
+    and multiprobe are kernel/literal forms — no interpreted
+    higher-order expressions (zip_with/aggregate/transform lambdas)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    df = entry.queries()["ann_lsh_topk"](spark, SF_TINY)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for hof in ("zip_with", "aggregate(", "transform("):
+        assert hof not in plan, hof
