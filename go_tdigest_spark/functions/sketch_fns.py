@@ -10,8 +10,14 @@ Bloom read surface to ``spark.sql`` users, mirroring
     SELECT bloom_might_contain(sketch, xxhash64(k), xxhash64(k, 1)) ...
 
 These register the SAME pandas UDFs the Column API uses (one decode per
-distinct sketch per batch for the probe joins, SQL NULL semantics for
-NULL sketches/params) — no second per-row implementation to drift.
+distinct sketch per batch for the probe joins) — no second per-row
+implementation to drift.  The probe functions (``cms_point_query``,
+``bloom_might_contain``) are registered as SQL functions that wrap the
+raw UDF in the IDENTICAL coalesce/CASE mask the Column API applies: a
+NULL-bearing int64 hash column otherwise arrives in pandas as lossy
+float64 (53-bit mantissa vs ~2^63 xxhash64 values) and the raw kernel
+refuses it loudly — SQL callers get true NULL-in/NULL-out semantics
+instead of that error.
 """
 
 from __future__ import annotations
@@ -33,5 +39,27 @@ def register_sketch_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("kll_cdf", _kll_cdf_udf)
     spark.udf.register("kll_count", _kll_count_udf)
     spark.udf.register("hll_estimate", _hll_estimate_udf)
-    spark.udf.register("cms_point_query", _cms_point_query_udf)
-    spark.udf.register("bloom_might_contain", _bloom_might_contain_udf)
+    # raw probe kernels under private names; the public SQL names are
+    # NULL-masking wrappers (coalesce keeps the hash column int64 even
+    # when the CASE branch is batch-evaluated over NULL rows — the same
+    # trick as the Column API wrappers in sketch_agg.py)
+    spark.udf.register("_cms_point_query_raw", _cms_point_query_udf)
+    spark.udf.register("_bloom_might_contain_raw", _bloom_might_contain_udf)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION cms_point_query(
+            sk BINARY, h BIGINT) RETURNS BIGINT
+        RETURN CASE WHEN sk IS NOT NULL AND h IS NOT NULL
+               THEN _cms_point_query_raw(sk, coalesce(h, 0L)) END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION bloom_might_contain(
+            sk BINARY, h1 BIGINT, h2 BIGINT) RETURNS BOOLEAN
+        RETURN CASE WHEN sk IS NOT NULL AND h1 IS NOT NULL
+                    AND h2 IS NOT NULL
+               THEN _bloom_might_contain_raw(
+                        sk, coalesce(h1, 0L), coalesce(h2, 0L)) END
+        """
+    )

@@ -109,14 +109,31 @@ def cosine_topk_sql(
     """
 
 
+_MAX_LSH_PLANES = 53  # float64 mantissa: bits @ pow2 is exact only to 2^53
+
+
+def _check_n_planes(n_planes: int) -> None:
+    if not 1 <= n_planes <= _MAX_LSH_PLANES:
+        # the vectorized packer accumulates the bucket id through a
+        # float64 matmul, which is exact only while the packed value
+        # fits the 53-bit mantissa; beyond that the bucket silently
+        # diverges from the integer expression twin (and bit 63 would
+        # overflow int64 outright)
+        raise ValueError(
+            f"n_planes must be in [1, {_MAX_LSH_PLANES}], got {n_planes}"
+        )
+
+
 def lsh_signature_col(vec_col: str, n_planes: int, dim: int):
-    """Bucket id: sign bits of the vector against deterministic planes.
+    """Bucket id: sign bits of the vector against deterministic planes
+    (``n_planes`` <= 53 — see _check_n_planes).
 
     Expression form (nested higher-order functions — Catalyst interprets
     these, it does not codegen them).  Kept as the SQL-replicable twin
     and golden reference; the hot path is ``lsh_features`` below, which
     computes identical buckets with one BLAS matmul per Arrow batch.
     """
+    _check_n_planes(n_planes)
     h = hyperplanes(n_planes, dim)
     bit_terms = []
     for p in range(n_planes):
@@ -139,14 +156,17 @@ def lsh_features(
     """Vectorized LSH features: one mapInArrow pass emits
     ``(id, vec, nrm, bucket)`` — the whole batch's sign bits come from a
     single ``V @ H.T`` BLAS product and one bit-packing matmul, replacing
-    n_planes interpreted ``aggregate()`` expressions per row.  Zero-norm
-    vectors are dropped (no cosine is defined for them).
+    n_planes interpreted ``aggregate()`` expressions per row.  The
+    float64 bit-pack is exact only for n_planes <= 53 (mantissa width) —
+    enforced by _check_n_planes, same limit as the expression twin.
+    Zero-norm vectors are dropped (no cosine is defined for them).
 
     The per-element dot order differs from the expression form only in
     float summation order; tests pin bucket equality on real data.
     """
     import pyarrow as pa
 
+    _check_n_planes(n_planes)
     planes = hyperplanes(n_planes, dim)  # (n_planes, dim)
     pow2 = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.float64)
     id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()

@@ -451,6 +451,7 @@ def heavy_hitters(
     phi: float,
     k: int | None = None,
     by: Sequence[str] = (),
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """EXACT phi-heavy-hitters in two passes: a Misra-Gries sketch pass
     proposes candidates, one targeted verification pass counts them
@@ -469,9 +470,18 @@ def heavy_hitters(
     where its exact count filters it).  A belt-and-braces runtime check
     re-verifies err < threshold on the merged sketch.  Fully
     distributed: nothing collects to the driver — the O(groups x k)
-    candidate table explodes out of the sketch rows and broadcast-joins
-    back onto the input, replacing a full distinct-tuple groupBy with a
+    candidate table explodes out of the sketch rows and joins back onto
+    the input, replacing a full distinct-tuple groupBy with a
     semi-filtered aggregation over candidate rows only.
+
+    ``broadcast_candidates``: the candidate table is O(groups x k) rows;
+    forcing a broadcast is only unconditionally safe when that bound is
+    known small.  Default (None): force-broadcast for the GLOBAL case
+    (1 x k rows, k already validated), but leave the grouped case to
+    Spark's own planner/AQE, which broadcasts from actual runtime sizes
+    and falls back to a shuffle hash join when groups x k is large —
+    an explicit F.broadcast would bypass that safety valve.  Pass
+    True/False to override either way.
     """
     import math
 
@@ -518,11 +528,20 @@ def heavy_hitters(
     base = (df.where(cond) if cond is not None else df).withColumn(
         "_ch", _hash_cols(cols)
     )
-    h, c = base.alias("h"), cand.alias("c")
+    if broadcast_candidates is None:
+        # global case: 1 x k rows, safe; grouped: let the planner/AQE
+        # pick from runtime sizes (no hint either way)
+        hinted = F.broadcast(cand) if not by else cand
+    elif broadcast_candidates:
+        hinted = F.broadcast(cand)
+    else:
+        # hard opt-out: shuffle hash join even if AQE would broadcast
+        hinted = cand.hint("shuffle_hash")
+    h, c = base.alias("h"), hinted.alias("c")
     on = [F.col(f"h.{x}").eqNullSafe(F.col(f"c.{x}")) for x in by] + [
         F.col("h._ch") == F.col("c._ch")
     ]
-    joined = h.join(F.broadcast(c), on, "inner").select(
+    joined = h.join(c, on, "inner").select(
         *[F.col(f"h.{x}") for x in by + list(cols)], F.col("c._thresh")
     )
     return (
@@ -545,39 +564,44 @@ def cms_agg(
     weight_col: str | None = None,
     fanin: int | None = 64,
 ) -> DataFrame:
-    if weight_col is not None:
-        from pyspark.sql.types import (
-            ByteType,
-            DecimalType,
-            IntegerType,
-            LongType,
-            ShortType,
-        )
-
-        # case-insensitive lookup: Spark column resolution is
-        # case-insensitive by default, the gate must match it
-        matches = [
-            f for f in df.schema.fields if f.name.lower() == weight_col.lower()
-        ]
-        if not matches:
-            raise ValueError(f"weight column {weight_col!r} not in DataFrame")
-        dt = matches[0].dataType
-        integral = isinstance(
-            dt, (ByteType, ShortType, IntegerType, LongType)
-        ) or (isinstance(dt, DecimalType) and dt.scale == 0)
-        if not integral:
-            # CMS counters are integers; silently truncating float weights
-            # (or accepting <=0) would break the overcount-only invariant
-            raise TypeError(
-                f"cms_agg weight column must be integral, got "
-                f"{dt.simpleString()} — cast explicitly"
-            )
     return _merge_stage(
         cms_partials(df, cols, by, d, w, weight_col),
         by,
         CountMinSketch.from_bytes,
         fanin=fanin,
     )
+
+
+def _require_integral_weight(df: DataFrame, weight_col: str, ctx: str) -> None:
+    """CMS/MG counters are integers; a silent float->int64 cast would
+    truncate fractional weights and break the counter invariants.  The
+    gate lives at the PARTIALS layer so every entry point (batch agg,
+    streaming sketch_stream_writer, partials-only callers) fails loudly
+    on a float weight column."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    # case-insensitive lookup: Spark column resolution is
+    # case-insensitive by default, the gate must match it
+    matches = [
+        f for f in df.schema.fields if f.name.lower() == weight_col.lower()
+    ]
+    if not matches:
+        raise ValueError(f"weight column {weight_col!r} not in DataFrame")
+    dt = matches[0].dataType
+    integral = isinstance(
+        dt, (ByteType, ShortType, IntegerType, LongType)
+    ) or (isinstance(dt, DecimalType) and dt.scale == 0)
+    if not integral:
+        raise TypeError(
+            f"{ctx} weight column must be integral, got "
+            f"{dt.simpleString()} — cast explicitly"
+        )
 
 
 def cms_partials(
@@ -588,9 +612,9 @@ def cms_partials(
     w: int = 2048,
     weight_col: str | None = None,
 ) -> DataFrame:
-    """Stage 1 only — batch building block and streaming partials_fn.
-    NB: call through cms_agg (or validate weights yourself) — the
-    integral-weight gate lives there."""
+    """Stage 1 only — batch building block and streaming partials_fn."""
+    if weight_col is not None:
+        _require_integral_weight(df, weight_col, "cms_partials")
     return _generic_partials(
         df,
         by,

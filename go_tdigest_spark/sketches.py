@@ -211,7 +211,13 @@ class MisraGries:
         if counts is None:
             uh, uc = np.unique(h.astype(np.int64), return_counts=True)
         else:
-            c = np.asarray(counts).astype(np.int64)
+            c = np.asarray(counts)
+            if c.dtype.kind == "f":
+                # mirror the CMS guard: silent .astype(int64) would
+                # truncate fractions (1.5 -> 1) and corrupt the MG
+                # lower-bound counters
+                raise TypeError("MG counts must be integral, got float")
+            c = c.astype(np.int64)
             if c.size and int(c.min()) <= 0:
                 raise ValueError("MG counts must be > 0")
             order = np.argsort(h, kind="stable")

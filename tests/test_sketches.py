@@ -753,3 +753,110 @@ def test_heavy_hitters_grouped(spark):
     assert got == want
     assert any(g == "a" for g, _, _ in want)
     assert not any(g == "b" for g, _, _ in want)  # b's heavy item is below 10%
+
+
+def test_heavy_hitters_grouped_no_forced_broadcast(spark):
+    """With many groups the O(groups x k) candidate table must not be
+    force-broadcast (ADVICE r2): grouped default leaves the join
+    strategy to the planner, broadcast_candidates=False forbids the
+    broadcast outright — and the result stays exact vs GROUP BY HAVING
+    either way."""
+    from go_tdigest_spark.operators import heavy_hitters
+
+    rng = np.random.default_rng(23)
+    n_groups = 200
+    rows = []
+    for g in range(n_groups):
+        rows += [(f"g{g}", 7)] * 30  # heavy item per group
+        rows += [(f"g{g}", int(x)) for x in rng.integers(100, 4000, size=60)]
+    df = spark.createDataFrame(rows, "g string, item long")
+
+    hh = heavy_hitters(df, ["item"], phi=0.25, by=["g"],
+                       broadcast_candidates=False)
+    got = {(r["g"], r["item"], r["cnt"]) for r in hh.collect()}
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+
+    import collections
+
+    per_group = collections.defaultdict(collections.Counter)
+    for g, it in rows:
+        per_group[g][it] += 1
+    want = set()
+    for g, ctr in per_group.items():
+        n = sum(ctr.values())
+        thresh = int(np.ceil(0.25 * n))
+        for it, c in ctr.items():
+            if c >= thresh:
+                want.add((g, it, c))
+    assert got == want and len(want) >= n_groups
+
+
+def test_sql_probe_functions_null_semantics(spark):
+    """ADVICE r2: SQL callers of cms_point_query / bloom_might_contain
+    get true NULL-in/NULL-out semantics — a NULL-bearing BIGINT hash
+    column must neither error (pandas float64 trap) nor corrupt the
+    non-NULL rows' results."""
+    from go_tdigest_spark.functions import register_sketch_sql_functions
+    from go_tdigest_spark.operators import bloom_agg, cms_agg
+
+    register_sketch_sql_functions(spark)
+    df = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    cms_agg(df, ["k"]).createOrReplaceTempView("cms_null_t")
+    bloom_agg(df, ["k"]).createOrReplaceTempView("blm_null_t")
+    spark.createDataFrame(
+        [(0,), (4,), (None,)], "k long"
+    ).createOrReplaceTempView("probes_null_t")
+
+    got = spark.sql(
+        """
+        SELECT p.k,
+               cms_point_query(sketch,
+                   CASE WHEN p.k IS NULL THEN NULL ELSE xxhash64(p.k) END) f
+        FROM cms_null_t, probes_null_t p
+        """
+    ).collect()
+    by_k = {r["k"]: r["f"] for r in got}
+    assert by_k[None] is None and by_k[0] == 20 and by_k[4] == 20
+
+    assert (
+        spark.sql("SELECT cms_point_query(NULL, 5L) f").collect()[0]["f"]
+        is None
+    )
+    hits = spark.sql(
+        """
+        SELECT p.k,
+               bloom_might_contain(sketch,
+                   CASE WHEN p.k IS NULL THEN NULL ELSE xxhash64(p.k) END,
+                   CASE WHEN p.k IS NULL THEN NULL
+                        ELSE xxhash64(p.k, 1) END) h
+        FROM blm_null_t, probes_null_t p
+        """
+    ).collect()
+    by_k = {r["k"]: r["h"] for r in hits}
+    assert by_k[None] is None and by_k[0] is True and by_k[4] is True
+
+
+def test_weight_and_plane_guards(spark):
+    """Loud failures instead of silent corruption: float weights on the
+    CMS partials path and on MisraGries.update_hashes; n_planes beyond
+    the float64-exact bit-pack range."""
+    from go_tdigest_spark.operators import cms_partials
+    from go_tdigest_spark.operators.ann import lsh_features, lsh_signature_col
+    from go_tdigest_spark.sketches import MisraGries
+
+    df = spark.createDataFrame([(1, 1.5), (2, 2.0)], "k long, w double")
+    with pytest.raises(TypeError, match="integral"):
+        cms_partials(df, ["k"], weight_col="w")
+
+    mg = MisraGries(k=4)
+    with pytest.raises(TypeError, match="integral"):
+        mg.update_hashes(np.array([1, 2]), np.array([1.5, 2.0]))
+
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="n_planes"):
+        lsh_features(emb, "embedding", "vec_id", 54, 8)
+    with pytest.raises(ValueError, match="n_planes"):
+        lsh_signature_col("embedding", 64, 8)
