@@ -425,8 +425,19 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
     emb = table(spark, sf_dir, "embeddings")
-    return dedup.embedding_similar_pairs(emb, "embedding", "vec_id", threshold=0.35)
+    # size the block grid from parquet footer metadata (O(footer) read,
+    # no Spark count() action over the scan lineage — VERDICT r2 #8)
+    n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    return dedup.embedding_similar_pairs(
+        emb, "embedding", "vec_id", threshold=0.35,
+        n_blocks=max(1, math.ceil(n / 4096)),
+    )
 
 
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
