@@ -425,18 +425,17 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
     import os
 
     import pyarrow.parquet as pq
 
     emb = table(spark, sf_dir, "embeddings")
-    # size the block grid from parquet footer metadata (O(footer) read,
-    # no Spark count() action over the scan lineage — VERDICT r2 #8)
+    # row count from parquet footer metadata (O(footer) read, no Spark
+    # count() action over the scan lineage — VERDICT r2 #8); the
+    # operator derives its own block grid from it
     n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
     return dedup.embedding_similar_pairs(
-        emb, "embedding", "vec_id", threshold=0.35,
-        n_blocks=max(1, math.ceil(n / 4096)),
+        emb, "embedding", "vec_id", threshold=0.35, n_rows=n
     )
 
 
@@ -803,8 +802,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "hll_users_exact": """
-            SELECT event_type, count(user_id) AS n_rows
-            FROM events GROUP BY event_type
+            -- WHERE (not bare count(user_id)): hll_agg drops NULL rows
+            -- BEFORE grouping, so an all-NULL group has no sketch row;
+            -- the oracle must omit that group too, not emit it with 0
+            SELECT event_type, count(*) AS n_rows
+            FROM events WHERE user_id IS NOT NULL GROUP BY event_type
         """,
         "cms_total_lineitem": """
             SELECT count(l_suppkey) AS n_added,

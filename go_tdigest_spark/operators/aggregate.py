@@ -285,6 +285,9 @@ def _coarse_merge_bound(
         return finest, None
     if n_units_hint is not None:
         return finest, n_units_hint
+    # NB: the persist is never explicitly released (the returned plan
+    # still references it); it is one O(compression)-byte row per group
+    # and Spark evicts LRU — pass finest_groups_hint to avoid it
     finest = finest.persist()
     return finest, finest.count()
 
@@ -329,7 +332,11 @@ def tdigest_cube(
         df, value_col, by, compression, weight_col=weight_col,
         explode_arrays=explode_arrays, fanin=fanin,
     )
-    finest, n_finest = _coarse_merge_bound(finest, fanin, finest_groups_hint)
+    n_finest = None
+    if by:  # no coarse levels exist for by=[], so never size/persist
+        finest, n_finest = _coarse_merge_bound(
+            finest, fanin, finest_groups_hint
+        )
     out = with_level_nulls(finest, by)
     for r in range(len(by) - 1, -1, -1):
         for subset in combinations(by, r):
@@ -385,7 +392,11 @@ def tdigest_rollup(
         df, value_col, by, compression, weight_col=weight_col,
         explode_arrays=explode_arrays, fanin=fanin,
     )
-    finest, n_finest = _coarse_merge_bound(finest, fanin, finest_groups_hint)
+    n_finest = None
+    if by:  # no coarse levels exist for by=[], so never size/persist
+        finest, n_finest = _coarse_merge_bound(
+            finest, fanin, finest_groups_hint
+        )
     levels = [with_level_nulls(finest, by)]
     cur = finest
     for i in range(len(by) - 1, -1, -1):

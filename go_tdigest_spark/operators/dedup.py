@@ -634,6 +634,14 @@ def minhash_jaccard_dedup_sql(
     threshold: float = 0.5,
     seed: int = 7,
 ) -> str:
+    if threshold <= 0:
+        # same guard as the Spark twin: the inner intersection join
+        # prunes zero-intersection candidates, which only equals the
+        # "emit jaccard 0.0" semantics when the threshold filters them
+        raise ValueError(
+            "threshold must be > 0 (zero-intersection candidates are "
+            "pruned by the intersection join)"
+        )
     cand_sql = minhash_lsh_pairs_sql(
         table, text_col, id_col, n, n_hashes, bands, est_floor, seed
     )
@@ -794,6 +802,7 @@ def embedding_similar_pairs(
     threshold: float = 0.9,
     n_blocks: int | None = None,
     block_size: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (exact, all-pairs) — distributed
     block-matrix form, nothing ever collects to the driver.
@@ -816,11 +825,15 @@ def embedding_similar_pairs(
 
     base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
     if n_blocks is None:
-        # NB: deriving the default block count costs one count() action
-        # over the input lineage (negligible next to the O(N^2) kernel,
-        # but re-executes upstream transforms) — pass n_blocks explicitly
-        # when the input is an expensive uncached pipeline
-        n_blocks = max(1, math.ceil(base.count() / block_size))
+        # callers that already know the row count (parquet footer, prior
+        # count) pass ``n_rows`` and the operator derives the grid itself
+        # (keeping the blocks-per-row formula in ONE place); otherwise
+        # deriving it costs one count() action over the input lineage —
+        # negligible next to the O(N^2) kernel, but it re-executes
+        # upstream transforms on an uncached pipeline
+        if n_rows is None:
+            n_rows = base.count()
+        n_blocks = max(1, math.ceil(n_rows / block_size))
     pair_structs = (
         f"transform(sequence(0, {n_blocks - 1}), "
         "j -> struct(least(blk, j) AS bi, greatest(blk, j) AS bj))"
