@@ -204,6 +204,7 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.5,
     max_doc_freq: float | None = 0.1,
+    persist_index: bool = True,
 ) -> DataFrame:
     """Jaccard similarity over distinct word n-gram sets, computed with
     an inverted-index self-join (shuffle key = shingle).
@@ -216,8 +217,19 @@ def ngram_jaccard_pairs(
     at corpus scale.  ``None`` disables the cap.
 
     Shingle production is the vectorized ``shingle_hashes`` kernel; the
-    index joins on int64 hashes (poly hash, SQL-replicable)."""
+    index joins on int64 hashes (poly hash, SQL-replicable).
+
+    ``persist_index``: the raw index feeds several plan branches
+    (doc-count, shingle frequencies, the df-cap semi-join, per-doc
+    sizes, and both self-join sides); each branch would otherwise
+    re-execute the scan + hashing kernel because the index is map-only
+    (no exchange for Spark to reuse).  Persisting the (id, int64) index
+    — tiny relative to the text — computes it once.  MEMORY_AND_DISK,
+    never explicitly released; disable when composing into a job that
+    manages its own caching."""
     inv = shingle_hashes(df, text_col, id_col, n)
+    if persist_index:
+        inv = inv.persist()
     if max_doc_freq is not None:
         n_docs = inv.select("doc").distinct().select(
             F.count(F.lit(1)).alias("nd")
@@ -597,7 +609,9 @@ def minhash_jaccard_dedup(
     cand = minhash_lsh_pairs(
         df, text_col, id_col, n, n_hashes, bands, est_floor, seed
     ).select("doc_a", "doc_b")
-    inv = shingle_hashes(df, text_col, id_col, n)
+    # persisted for the same reason as ngram_jaccard_pairs: the map-only
+    # index feeds sizes + both intersection-join sides
+    inv = shingle_hashes(df, text_col, id_col, n).persist()
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(inv.select(F.col("doc").alias("doc_a"), "s"), "doc_a")
