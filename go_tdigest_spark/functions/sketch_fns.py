@@ -27,6 +27,7 @@ from pyspark.sql import SparkSession
 from ..operators.sketch_agg import (
     _bloom_might_contain_udf,
     _cms_point_query_udf,
+    _cms_total_udf,
     _hll_estimate_udf,
     _kll_cdf_udf,
     _kll_count_udf,
@@ -39,6 +40,7 @@ def register_sketch_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("kll_cdf", _kll_cdf_udf)
     spark.udf.register("kll_count", _kll_count_udf)
     spark.udf.register("hll_estimate", _hll_estimate_udf)
+    spark.udf.register("cms_total", _cms_total_udf)
     # raw probe kernels under private names; the public SQL names are
     # NULL-masking wrappers (coalesce keeps the hash column int64 even
     # when the CASE branch is batch-evaluated over NULL rows — the same

@@ -67,26 +67,53 @@ def stop_hits(col: str) -> Column:
 # ---------------------------------------------------------- quality score
 
 
+def spark_round_frag_duck(expr: str, d: int = 4) -> str:
+    """DuckDB twin of Spark's ``F.round`` on DOUBLE columns.
+
+    Spark rounds via ``BigDecimal.valueOf(x).setScale(d, HALF_UP)`` —
+    i.e. HALF_UP on the SHORTEST DECIMAL REPR of the binary double —
+    while DuckDB's ``round(double, d)`` rounds the binary value, so the
+    two disagree exactly when the shortest repr ends in 5 at position
+    d+1 (e.g. a double printing as 0.25125: Spark -> 0.2513, DuckDB ->
+    0.2512).  Routing through VARCHAR (shortest repr on both engines)
+    and DECIMAL (DuckDB decimal round is HALF_UP) replicates Spark's
+    semantics bit for bit WHENEVER both engines hold the identical
+    double — which the double-literal frags below guarantee."""
+    return (
+        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,18)), "
+        f"{d}) AS DOUBLE)"
+    )
+
+
 def quality_score_frag(col: str, dialect: str) -> str:
+    # every literal is an explicit DOUBLE (0.4D / 0.4::DOUBLE): a bare
+    # 0.4 parses as DECIMAL on BOTH engines, silently switching parts of
+    # the formula to exact decimal arithmetic that lands on different
+    # doubles than the float64 kernel (text_features) at rounding
+    # boundaries.  Operand order matches the kernel exactly.
     if dialect == "spark":
         punct = f"length(regexp_replace({col}, '[^.,!?;:]', ''))"
         alpha = f"length(regexp_replace({col}, '[^a-zA-Z]', ''))"
         tokens = token_count_frag_spark(col)
+        lit = lambda x: f"{x}D"  # noqa: E731
     else:
         punct = f"length(regexp_replace({col}, '[^.,!?;:]', '', 'g'))"
         alpha = f"length(regexp_replace({col}, '[^a-zA-Z]', '', 'g'))"
         tokens = token_count_frag_duck(col)
+        lit = lambda x: f"{x}::DOUBLE"  # noqa: E731
     stops = _stop_hits_frag(col)
     n = f"greatest(length({col}), 1)"
     t = f"greatest({tokens}, 1)"
-    return (
-        "round("
-        f"0.4 * least(1.0, {tokens} / 100.0) + "
-        f"0.3 * ({alpha} * 1.0 / {n}) + "
-        f"0.2 * least(1.0, ({stops} * 5.0) / {t}) + "
-        f"0.1 * (1.0 - least(1.0, ({punct} * 10.0) / {n}))"
-        ", 4)"
+    raw = (
+        f"{lit('0.4')} * least({lit('1.0')}, {tokens} / {lit('100.0')}) + "
+        f"{lit('0.3')} * ({alpha} * {lit('1.0')} / {n}) + "
+        f"{lit('0.2')} * least({lit('1.0')}, ({stops} * {lit('5.0')}) / {t}) + "
+        f"{lit('0.1')} * ({lit('1.0')} - "
+        f"least({lit('1.0')}, ({punct} * {lit('10.0')}) / {n}))"
     )
+    if dialect == "spark":
+        return f"round({raw}, 4)"
+    return spark_round_frag_duck(raw, 4)
 
 
 def quality_score(col: str) -> Column:

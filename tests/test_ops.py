@@ -932,3 +932,52 @@ def test_ann_lsh_plan_has_no_interpreted_hofs(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for hof in ("zip_with", "aggregate(", "transform("):
         assert hof not in plan, hof
+
+
+def test_text_features_randomized_cross_engine_parity(spark):
+    """Columnar text_features vs the DuckDB expression frags on a
+    RANDOMIZED hostile corpus (seeded): every ASCII whitespace species,
+    stopwords at edges/middle, punctuation runs, non-latin codepoints,
+    empty/whitespace-only docs — parity must hold on all four features,
+    not just the fixture corpus."""
+    import duckdb
+
+    rng = np.random.default_rng(99)
+    ws = [" ", "\t", "\n", "\r", "\f", "\v"]
+    words = ["the", "and", "of", "to", "in", "is", "a", "fox", "Ärger",
+             "naïve", "x", "punct.,!?;:", "CAPS", "123", "..."]
+    docs = []
+    for i in range(300):
+        k = int(rng.integers(0, 12))
+        parts = []
+        for _ in range(k):
+            parts.append(str(rng.choice(words)))
+            parts.append(str(rng.choice(ws)) * int(rng.integers(1, 3)))
+        lead = str(rng.choice(ws)) * int(rng.integers(0, 3))
+        docs.append((i, lead + "".join(parts)))
+    docs += [(300, ""), (301, "   "), (302, "\v\v"), (303, " the and")]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("rnd_docs", pdf)
+
+    feats = (
+        T.text_features(df, "text", "doc_id")
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    oracle = con.execute(
+        f"""
+        SELECT doc_id,
+               {T.token_count_frag_duck('text')} AS n_tokens,
+               {T.lang_id_frag('text', 'duck')} AS lang_guess,
+               {T.fingerprint_frag('text', 'duck')} AS fingerprint,
+               {T.quality_score_frag('text', 'duck')} AS quality
+        FROM rnd_docs ORDER BY doc_id
+        """
+    ).fetch_df().set_index("doc_id")
+    for c in ("n_tokens", "lang_guess", "fingerprint"):
+        bad = feats.index[feats[c] != oracle[c]]
+        assert len(bad) == 0, (c, [(i, feats[c][i], oracle[c][i]) for i in bad[:3]])
+    assert np.allclose(feats["quality"], oracle["quality"])
