@@ -36,6 +36,7 @@ from go_tdigest_spark.operators import (
     ann,
     dedup,
     multimodal,
+    sample,
     tdigest_agg,
 )
 from go_tdigest_spark.sources import table
@@ -577,6 +578,31 @@ def _q_bloom_present_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import sample_fraction
+
+    # deterministic ~30% doc sample: membership is a pure function of
+    # the doc id, so the oracle checks the EXACT sampled set
+    docs = table(spark, sf_dir, "documents")
+    s = sample_fraction(docs, "doc_id", 0.3, seed=7)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("chars_sampled"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _q_sample_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import sample_topk_per_group
+
+    # fixed-size stratified sample: 5 deterministic orders per status
+    orders = table(spark, sf_dir, "orders")
+    return sample_topk_per_group(
+        orders, "o_orderkey", ["o_orderstatus"], k=5, seed=3
+    ).select("o_orderstatus", "o_orderkey", "o_totalprice")
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # opaque binary payloads (ASCII-sanitized so the oracle can sum
@@ -629,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_users": _q_heavy_hitter_users,
         "bloom_membership": _q_bloom_membership,
         "bloom_present_keys": _q_bloom_present_keys,
+        "sample_fraction_docs": _q_sample_fraction_docs,
+        "sample_topk_orders": _q_sample_topk_orders,
         "multimodal_meta": _q_multimodal_meta,
     }
 
@@ -818,6 +846,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_custkey) AS present_hits
             FROM orders WHERE o_custkey < 200
             GROUP BY o_orderstatus
+        """,
+        "sample_fraction_docs": f"""
+            SELECT source, count(*) AS n_sampled,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sampled,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM ({sample.sample_fraction_sql(
+                'documents', 'doc_id', 0.3, seed=7)})
+            GROUP BY source
+        """,
+        "sample_topk_orders": f"""
+            SELECT o_orderstatus, o_orderkey, o_totalprice
+            FROM ({sample.sample_topk_per_group_sql(
+                'orders', 'o_orderkey', ['o_orderstatus'], 5, seed=3)})
         """,
         "heavy_hitter_users": """
             SELECT user_id, count(*) AS cnt

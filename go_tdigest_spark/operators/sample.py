@@ -1,0 +1,199 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling is the wrong tool at 100 TB: runs are not reproducible,
+stratified sizes drift, and an oracle cannot check the output.  Both
+operators here sample by a SEEDED CONTENT HASH of the key column, so
+
+  - the sample is a pure function of the data (re-runs, retries, and
+    different partitionings produce the identical sample — the same
+    determinism contract as the tokens source);
+  - the DuckDB twin replicates the hash bit-for-bit, so the driver gate
+    checks the sample EXACTLY (no rows-only waiver);
+  - membership is decided per row (fraction) or per group (top-k), so
+    the plan is a pushed-down filter / a single per-group selection —
+    no global shuffle for the fraction form.
+
+Hashing: the shared polynomial codepoint kernel (poly_hash_batch /
+shingle_hash_frag) over ``CAST(key AS STRING)`` with a seed prefix.
+The Spark hot path hashes each Arrow batch column-wise in numpy
+(mapInArrow, no per-row Python, no interpreted HOFs); the SQL frag twin
+is generated beside it.
+
+Scale notes: ``sample_fraction`` is map-only (scan -> hash -> filter);
+``sample_topk_per_group`` shuffles once on the group key and selects k
+smallest hashes per group via one struct-min-k aggregation-free window
+(row_number over (hash, key)) — the standard fixed-size stratified
+sample.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import FP_BASE, SH_MOD, shingle_hash_frag
+
+# sampling uses the 57-bit modulus: the 30-bit FP_MOD would make the
+# acceptance ratio granular to ~1e-9 of itself only, fine, but SH_MOD
+# keeps the same constant family as the dedup index
+_DENOM = 1_000_000  # fraction resolution: 1e-6
+
+# the raw polynomial hash has NO avalanche in its low digits (it is
+# linear in the last character: consecutive ids -> consecutive hashes),
+# which would make fraction-sampling correlate with the id's last
+# digit.  Two MINSTD rounds (Lehmer MCG, public-domain constants
+# a=48271 mod 2^31-1) decorrelate it; chosen because a*h fits int64 on
+# EVERY engine (a < 2^16.6, h < 2^31), so the identical arithmetic is
+# expressible in Spark SQL, DuckDB, and numpy without 128-bit ops.
+_MIX_A = 48271
+_MIX_P = 2_147_483_647  # 2^31 - 1
+
+
+def _mix_frag(expr: str) -> str:
+    h1 = f"(({expr}) % {_MIX_P})"
+    h2 = f"(({h1} * {_MIX_A}) % {_MIX_P})"
+    return f"(({h2} * {_MIX_A}) % {_MIX_P})"
+
+
+def _mix_batch(h):
+    h = h % _MIX_P
+    h = (h * _MIX_A) % _MIX_P
+    return (h * _MIX_A) % _MIX_P
+
+
+def _seeded(var: str, seed: int) -> str:
+    # seed folds in as a string prefix so different seeds give
+    # independent samples of the same keys; NULL keys coalesce to ''
+    # (matching the kernel's str(None) -> '' mapping) because Spark's
+    # concat is NULL-absorbing while DuckDB's ignores NULLs
+    return f"concat('s{seed}:', coalesce({var}, ''))"
+
+
+def _hash_strings_batch(vals: list[str], seed: int) -> np.ndarray:
+    from ._batch import poly_hash_batch
+
+    return _mix_batch(
+        poly_hash_batch([f"s{seed}:{v}" for v in vals], FP_BASE, SH_MOD)
+    )
+
+
+def sample_hash_frag(col: str, dialect: str, seed: int = 1) -> str:
+    """SQL twin of the sampling hash: poly hash of 's{seed}:' || key."""
+    cast = (
+        f"CAST({col} AS STRING)" if dialect == "spark"
+        else f"CAST({col} AS VARCHAR)"
+    )
+    return _mix_frag(shingle_hash_frag(_seeded(cast, seed), dialect, SH_MOD))
+
+
+def sample_fraction(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose seeded key
+    hash lands below ``fraction`` of the modulus.  Reproducible across
+    runs/partitionings; duplicate keys are kept or dropped TOGETHER
+    (membership is a function of the key), which is what a training
+    pipeline usually wants for doc-keyed tables.
+
+    Map-only plan: the hash is computed per Arrow batch in numpy and
+    applied as a filter — no shuffle, no interpreted expressions.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    import pyarrow as pa
+
+    cutoff = int(round(fraction * _DENOM))
+    cols = df.columns
+    key_idx = cols.index(key_col)
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vals = [
+                "" if v is None else str(v)
+                for v in batch.column(key_idx).to_pylist()
+            ]
+            h = _hash_strings_batch(vals, seed)
+            keep = (h % _DENOM) < cutoff
+            yield batch.filter(pa.array(keep))
+
+    return df.mapInArrow(gen, df.schema)
+
+
+def sample_fraction_sql(
+    table: str, key_col: str, fraction: float, seed: int = 1
+) -> str:
+    cutoff = int(round(fraction * _DENOM))
+    h = sample_hash_frag(key_col, "duck", seed)
+    return f"SELECT * FROM {table} WHERE ({h}) % {_DENOM} < {cutoff}"
+
+
+def sample_topk_per_group(
+    df: DataFrame,
+    key_col: str,
+    by: list[str],
+    k: int,
+    seed: int = 1,
+) -> DataFrame:
+    """Fixed-size stratified sample: the ``k`` rows with the smallest
+    seeded key hash per group (ties broken by the key itself, so the
+    result is total-order deterministic).  One shuffle on the group
+    keys; the hash itself is batch-computed map-side.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import pyarrow as pa
+
+    cols = df.columns
+    key_idx = cols.index(key_col)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_with_hash = StructType(
+        list(df.schema.fields) + [StructField("_sh", LongType(), False)]
+    )
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vals = [
+                "" if v is None else str(v)
+                for v in batch.column(key_idx).to_pylist()
+            ]
+            h = _hash_strings_batch(vals, seed)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(h, type=pa.int64())],
+                names=list(batch.schema.names) + ["_sh"],
+            )
+
+    hashed = df.mapInArrow(gen, schema_with_hash)
+    w = Window.partitionBy(*by).orderBy(F.asc("_sh"), F.asc(key_col))
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_sh", "_rn")
+    )
+
+
+def sample_topk_per_group_sql(
+    table: str, key_col: str, by: list[str], k: int, seed: int = 1
+) -> str:
+    h = sample_hash_frag(key_col, "duck", seed)
+    keys = ", ".join(by)
+    return f"""
+        SELECT * EXCLUDE (_sh, _rn) FROM (
+            SELECT *, ({h}) AS _sh,
+                   row_number() OVER (
+                       PARTITION BY {keys}
+                       ORDER BY ({h}) ASC, {key_col} ASC
+                   ) AS _rn
+            FROM {table}
+        ) WHERE _rn <= {k}
+    """

@@ -981,3 +981,57 @@ def test_text_features_randomized_cross_engine_parity(spark):
         bad = feats.index[feats[c] != oracle[c]]
         assert len(bad) == 0, (c, [(i, feats[c][i], oracle[c][i]) for i in bad[:3]])
     assert np.allclose(feats["quality"], oracle["quality"])
+
+
+def test_deterministic_sampling_operators(spark):
+    """sample_fraction: partition-count independent, key-deterministic,
+    ~fraction density, NULL keys handled like '' on both engines.
+    sample_topk_per_group: exactly k smallest-hash rows per group,
+    independent of input partitioning."""
+    from go_tdigest_spark.operators import sample_fraction, sample_topk_per_group
+    from go_tdigest_spark.operators.sample import _hash_strings_batch
+
+    n = 20_000
+    df1 = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    df2 = df1.repartition(13)  # different partitioning, same data
+
+    s1 = set(r["k"] for r in sample_fraction(df1, "k", 0.3, seed=7).collect())
+    s2 = set(r["k"] for r in sample_fraction(df2, "k", 0.3, seed=7).collect())
+    assert s1 == s2  # partition-count independent
+    assert abs(len(s1) / n - 0.3) < 0.02  # density
+    s3 = set(r["k"] for r in sample_fraction(df1, "k", 0.3, seed=8).collect())
+    assert s1 != s3  # seed changes the sample
+    # membership matches the kernel hash rule exactly
+    h = _hash_strings_batch([str(i) for i in range(n)], 7)
+    want = {i for i in range(n) if h[i] % 1_000_000 < 300_000}
+    assert s1 == want
+
+    t1 = {
+        (r["g"], r["k"])
+        for r in sample_topk_per_group(df1, "k", ["g"], k=4, seed=3).collect()
+    }
+    t2 = {
+        (r["g"], r["k"])
+        for r in sample_topk_per_group(df2, "k", ["g"], k=4, seed=3).collect()
+    }
+    assert t1 == t2
+    import collections
+
+    per_g = collections.Counter(g for g, _ in t1)
+    assert all(v == 4 for v in per_g.values()) and len(per_g) == 7
+    # brute-force the 4 smallest (hash, key) pairs per group
+    hs = _hash_strings_batch([str(i) for i in range(n)], 3)
+    best: dict[int, list] = collections.defaultdict(list)
+    for i in range(n):
+        best[i % 7].append((int(hs[i]), i))
+    want_t = {
+        (g, k) for g, lst in best.items() for _, k in sorted(lst)[:4]
+    }
+    assert t1 == want_t
+
+    # NULL keys: hashed as '' (same rule the SQL twin's coalesce applies)
+    dfn = spark.createDataFrame([(None,), (1,), (2,)], "k long")
+    got = {r["k"] for r in sample_fraction(dfn, "k", 1.0, seed=1).collect()}
+    assert got == {None, 1, 2}  # fraction 1.0 keeps everything incl. NULL
