@@ -78,9 +78,16 @@ def spark_round_frag_duck(expr: str, d: int = 4) -> str:
     0.2512).  Routing through VARCHAR (shortest repr on both engines)
     and DECIMAL (DuckDB decimal round is HALF_UP) replicates Spark's
     semantics bit for bit WHENEVER both engines hold the identical
-    double — which the double-literal frags below guarantee."""
+    double — which the double-literal frags below guarantee.
+
+    Domain: |x| < 10^13 and |x| > 10^-8 (or exactly 0).  25 fractional
+    digits hold any shortest repr in that range (<= 17 significant
+    digits + <= 8 leading zeros) without the cast itself pre-rounding a
+    19th+ digit, which would carry and corrupt the HALF_UP decision
+    (review finding: DECIMAL(38,18) turned ...72499999999999995 into
+    ...725 before the round)."""
     return (
-        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,18)), "
+        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,25)), "
         f"{d}) AS DOUBLE)"
     )
 

@@ -578,6 +578,7 @@ def minhash_jaccard_dedup(
     est_floor: float = 0.3,
     threshold: float = 0.5,
     seed: int = 7,
+    persist_index: bool = True,
 ) -> DataFrame:
     """The production dedup shape: MinHash-LSH candidate generation, then
     *exact* Jaccard verification computed only on the candidate pairs.
@@ -610,8 +611,11 @@ def minhash_jaccard_dedup(
         df, text_col, id_col, n, n_hashes, bands, est_floor, seed
     ).select("doc_a", "doc_b")
     # persisted for the same reason as ngram_jaccard_pairs: the map-only
-    # index feeds sizes + both intersection-join sides
-    inv = shingle_hashes(df, text_col, id_col, n).persist()
+    # index feeds sizes + both intersection-join sides (persist_index
+    # opts out for jobs that manage their own caching)
+    inv = shingle_hashes(df, text_col, id_col, n)
+    if persist_index:
+        inv = inv.persist()
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(inv.select(F.col("doc").alias("doc_a"), "s"), "doc_a")

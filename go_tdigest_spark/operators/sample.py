@@ -14,10 +14,14 @@ operators here sample by a SEEDED CONTENT HASH of the key column, so
     no global shuffle for the fraction form.
 
 Hashing: the shared polynomial codepoint kernel (poly_hash_batch /
-shingle_hash_frag) over ``CAST(key AS STRING)`` with a seed prefix.
-The Spark hot path hashes each Arrow batch column-wise in numpy
-(mapInArrow, no per-row Python, no interpreted HOFs); the SQL frag twin
-is generated beside it.
+shingle_hash_frag) over the key's string form with a seed prefix.  The
+Spark hot path stringifies each Arrow batch with a pyarrow C cast and
+hashes it column-wise in numpy (mapInArrow — the only Python per row is
+the list hand-off into the shared kernel); the SQL frag twin is
+generated beside it.  Keys are restricted to INTEGRAL or STRING columns
+(enforced): other types stringify differently across engines
+(bool True/true, double 1e+16/1.0E16), which would silently change
+sample membership vs the oracle.
 
 Scale notes: ``sample_fraction`` is map-only (scan -> hash -> filter);
 ``sample_topk_per_group`` shuffles once on the group key and selects k
@@ -63,6 +67,29 @@ def _mix_batch(h):
     return (h * _MIX_A) % _MIX_P
 
 
+def _check_key_type(df: DataFrame, key_col: str, ctx: str) -> None:
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    matches = [f for f in df.schema.fields if f.name == key_col]
+    if not matches:
+        raise ValueError(f"{ctx}: key column {key_col!r} not in DataFrame")
+    dt = matches[0].dataType
+    if not isinstance(
+        dt, (ByteType, ShortType, IntegerType, LongType, StringType)
+    ):
+        raise TypeError(
+            f"{ctx}: key column must be integral or string, got "
+            f"{dt.simpleString()} — other types stringify differently "
+            "across engines (bool True/true, double 1e+16/1.0E16)"
+        )
+
+
 def _seeded(var: str, seed: int) -> str:
     # seed folds in as a string prefix so different seeds give
     # independent samples of the same keys; NULL keys coalesce to ''
@@ -105,19 +132,24 @@ def sample_fraction(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
+    _check_key_type(df, key_col, "sample_fraction")
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     cutoff = int(round(fraction * _DENOM))
-    cols = df.columns
-    key_idx = cols.index(key_col)
+    key_idx = df.columns.index(key_col)
 
     def gen(batches):
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            # C-level stringify (int64 -> "123", identical to the SQL
+            # CAST for the enforced integral/string key types)
             vals = [
-                "" if v is None else str(v)
-                for v in batch.column(key_idx).to_pylist()
+                "" if v is None else v
+                for v in pc.cast(
+                    batch.column(key_idx), pa.string()
+                ).to_pylist()
             ]
             h = _hash_strings_batch(vals, seed)
             keep = (h % _DENOM) < cutoff
@@ -142,16 +174,29 @@ def sample_topk_per_group(
     seed: int = 1,
 ) -> DataFrame:
     """Fixed-size stratified sample: the ``k`` rows with the smallest
-    seeded key hash per group (ties broken by the key itself, so the
-    result is total-order deterministic).  One shuffle on the group
-    keys; the hash itself is batch-computed map-side.
+    seeded key hash per group (ties broken by the key itself).  One
+    shuffle on the group keys; the hash itself is batch-computed
+    map-side.
+
+    The key must be UNIQUE within each group (use an id column): rows
+    sharing a key sort identically on (hash, key), so which physical
+    row wins a tie at rank k would depend on partitioning — the exact
+    nondeterminism this operator exists to rule out.  Uniqueness is the
+    caller's contract; it is not validated (checking would cost an
+    extra aggregation over the input).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    _check_key_type(df, key_col, "sample_topk_per_group")
+    reserved = {"_sh", "_rn"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(reserved)}"
+        )
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    cols = df.columns
-    key_idx = cols.index(key_col)
+    key_idx = df.columns.index(key_col)
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema_with_hash = StructType(
@@ -163,8 +208,10 @@ def sample_topk_per_group(
             if batch.num_rows == 0:
                 continue
             vals = [
-                "" if v is None else str(v)
-                for v in batch.column(key_idx).to_pylist()
+                "" if v is None else v
+                for v in pc.cast(
+                    batch.column(key_idx), pa.string()
+                ).to_pylist()
             ]
             h = _hash_strings_batch(vals, seed)
             yield pa.RecordBatch.from_arrays(

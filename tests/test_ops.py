@@ -1035,3 +1035,23 @@ def test_deterministic_sampling_operators(spark):
     dfn = spark.createDataFrame([(None,), (1,), (2,)], "k long")
     got = {r["k"] for r in sample_fraction(dfn, "k", 1.0, seed=1).collect()}
     assert got == {None, 1, 2}  # fraction 1.0 keeps everything incl. NULL
+
+
+def test_sampling_guards(spark):
+    """Key-type and reserved-name guards fail loudly instead of silently
+    diverging from the SQL twin."""
+    from go_tdigest_spark.operators import sample_fraction, sample_topk_per_group
+
+    dbl = spark.createDataFrame([(1.5, "a")], "k double, g string")
+    with pytest.raises(TypeError, match="integral or string"):
+        sample_fraction(dbl, "k", 0.5)
+    with pytest.raises(TypeError, match="integral or string"):
+        sample_topk_per_group(dbl, "k", ["g"], k=1)
+    clash = spark.createDataFrame([(1, "a", 0)], "k long, g string, _sh long")
+    with pytest.raises(ValueError, match="reserved"):
+        sample_topk_per_group(clash, "k", ["g"], k=1)
+    # string keys pass the gate and stay deterministic
+    sdf = spark.createDataFrame([(f"d{i}",) for i in range(100)], "k string")
+    a = {r["k"] for r in sample_fraction(sdf, "k", 0.5, seed=2).collect()}
+    b = {r["k"] for r in sample_fraction(sdf.repartition(7), "k", 0.5, seed=2).collect()}
+    assert a == b and 20 < len(a) < 80
