@@ -505,6 +505,15 @@ def _q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, ["user_id"], phi=0.0055)
 
 
+def _q_heavy_hitters_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import heavy_hitters
+
+    # grouped form: per-group thresholds, candidate join left to the
+    # planner/AQE (no forced broadcast — the r3 size-guard path)
+    ev = table(spark, sf_dir, "events")
+    return heavy_hitters(ev, ["user_id"], phi=0.005, by=["event_type"])
+
+
 def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_tdigest_spark.operators import bloom_agg, bloom_might_contain
 
@@ -653,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_supplier_freq": _q_cms_supplier_freq,
         "cms_total_lineitem": _q_cms_total_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
+        "heavy_hitters_by_type": _q_heavy_hitters_by_type,
         "bloom_membership": _q_bloom_membership,
         "bloom_present_keys": _q_bloom_present_keys,
         "sample_fraction_docs": _q_sample_fraction_docs,
@@ -866,6 +876,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING count(*) >= ceil(0.0055 * (
                 SELECT count(user_id) FROM events))
+        """,
+        "heavy_hitters_by_type": """
+            WITH totals AS (
+                SELECT event_type, count(*) AS n FROM events
+                WHERE user_id IS NOT NULL GROUP BY event_type
+            ), counts AS (
+                SELECT event_type, user_id, count(*) AS cnt FROM events
+                WHERE user_id IS NOT NULL GROUP BY event_type, user_id
+            )
+            SELECT c.event_type, c.user_id, c.cnt
+            FROM counts c JOIN totals t USING (event_type)
+            WHERE c.cnt >= ceil(0.005 * t.n)
         """,
         "pipeline_curation": f"""
             WITH feats AS (
