@@ -129,6 +129,9 @@ def sample_fraction(
 
     Map-only plan: the hash is computed per Arrow batch in numpy and
     applied as a filter — no shuffle, no interpreted expressions.
+    NB: mapInArrow is opaque to Catalyst, so column pruning does not
+    reach through it — ``select`` the columns you need BEFORE sampling
+    when the table is wide.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
