@@ -400,6 +400,12 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         "hll_distinct_users",
         "pipeline_curation",
         "heavy_hitter_users",
+        "heavy_hitters_by_type",
+        "sample_fraction_docs",
+        "sample_topk_orders",
+        "hll_users_exact",
+        "cms_total_lineitem",
+        "bloom_present_keys",
     ]
     for name in hot:
         df = qs[name](spark, sf)
