@@ -371,6 +371,25 @@ def _q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed flow with the sampling stage first: deterministic 50%
+    doc sample -> vectorized text features -> quality filter ->
+    per-source stats.  Everything stays hash-exact because sample
+    membership is a pure function of doc_id and the quality rounding
+    twin matches Spark's semantics."""
+    from go_tdigest_spark.operators import sample_fraction
+
+    docs = table(spark, sf_dir, "documents")
+    s = sample_fraction(docs, "doc_id", 0.5, seed=11)
+    feats = T.text_features(s, "text", "doc_id", extra_cols=("source",))
+    kept = feats.where(F.col("quality") >= 0.4)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("quality") * 10000).cast("long").alias("quality_x10k"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.dedup_exact_stats(docs, "text", ["source"])
@@ -646,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_summary": _q_text_summary,
         "pipeline_curation": _q_pipeline_curation,
+        "pipeline_subsample": _q_pipeline_subsample,
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -908,6 +928,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(round(sum(quality) * 10000) AS BIGINT) AS quality_x10k
             FROM kept GROUP BY source
+        """,
+        "pipeline_subsample": f"""
+            WITH sampled AS (
+                {sample.sample_fraction_sql('documents', 'doc_id', 0.5, seed=11)}
+            ), feats AS (
+                SELECT doc_id, source,
+                       {T.token_count_frag_duck('text')} AS n_tokens,
+                       {T.quality_score_frag('text', 'duck')} AS quality
+                FROM sampled WHERE text IS NOT NULL
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(round(sum(quality) * 10000) AS BIGINT) AS quality_x10k
+            FROM feats WHERE quality >= 0.4 GROUP BY source
         """,
         "dedup_exact_documents": """
             SELECT source,
