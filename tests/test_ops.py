@@ -1055,3 +1055,69 @@ def test_sampling_guards(spark):
     a = {r["k"] for r in sample_fraction(sdf, "k", 0.5, seed=2).collect()}
     b = {r["k"] for r in sample_fraction(sdf.repartition(7), "k", 0.5, seed=2).collect()}
     assert a == b and 20 < len(a) < 80
+
+
+def test_sketch_streaming_misra_gries(spark, tmp_path):
+    """Streaming heavy-hitter candidates: MG partials appended per
+    trigger, merged on read — the MG guarantees (never overcount,
+    undercount <= err, phi-heavy recall) survive the stream's
+    batch-then-tree merge order."""
+    from go_tdigest_spark.operators import mg_partials
+    from go_tdigest_spark.sketches import MisraGries
+    from go_tdigest_spark.streaming import (
+        read_stream_sketches,
+        sketch_stream_writer,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ev = table(spark, SF_TINY, "events").select("user_id")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        sketch_stream_writer(
+            stream,
+            lambda b: mg_partials(b, ["user_id"], [], k=256),
+            state,
+            ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = read_stream_sketches(
+        spark, state, [], MisraGries.from_bytes
+    ).collect()
+    assert len(merged) == 1
+    mg = MisraGries.from_bytes(bytes(merged[0]["sketch"]))
+    truth = {
+        r["user_id"]: r["c"]
+        for r in ev.where("user_id IS NOT NULL")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    n = sum(truth.values())
+    assert mg.total == n and merged[0]["n_rows"] == n
+    hash_to_user = {
+        r["h"]: r["user_id"]
+        for r in ev.where("user_id IS NOT NULL")
+        .select("user_id", F.xxhash64("user_id").alias("h"))
+        .distinct()
+        .collect()
+    }
+    for h, c in zip(mg.hashes, mg.counts):
+        t = truth[hash_to_user[int(h)]]
+        assert c <= t and c >= t - mg.err  # never overcount, bounded under
+    surv = {int(h) for h in mg.hashes}
+    user_to_hash = {u: h for h, u in hash_to_user.items()}
+    for u, t in truth.items():
+        if t > mg.err:  # every item heavier than err must survive
+            assert user_to_hash[u] in surv
