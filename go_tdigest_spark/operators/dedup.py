@@ -487,14 +487,15 @@ def minhash_lsh_pairs(
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, n_hashes, seed)
-    band_arr = F.expr(
-        "transform(sequence(0, {b} - 1), i -> "
-        "struct(i AS band, concat_ws(',', slice(sig, i * {r} + 1, {r})) AS key))".format(
-            b=bands, r=rows
-        )
+    # stack() instead of explode(transform(...)): a generator whose arg
+    # expressions stay inside codegen — no interpreted lambda per row on
+    # the hottest dedup path
+    parts = ", ".join(
+        f"{i}, concat_ws(',', slice(sig, {i * rows + 1}, {rows}))"
+        for i in range(bands)
     )
-    banded = sigs.select("doc", "sig", F.explode(band_arr).alias("bk")).select(
-        "doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    banded = sigs.selectExpr(
+        "doc", "sig", f"stack({bands}, {parts}) AS (band, key)"
     )
     banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -782,12 +783,11 @@ def simhash_candidate_pairs(
     only pairs that happen to share an identical chunk are found.
     ``max_bucket_size`` drops hot chunk buckets before the self-join
     (see cap_lsh_buckets)."""
-    chunks = F.expr(
-        "transform(sequence(0, 3), i -> "
-        "struct(i AS band, shiftright(simhash, i * 16) & 65535 AS key))"
+    parts = ", ".join(
+        f"{i}, shiftright(simhash, {i * 16}) & 65535" for i in range(4)
     )
-    banded = sigs.select("doc", "simhash", F.explode(chunks).alias("bk")).select(
-        "doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    banded = sigs.selectExpr(
+        "doc", "simhash", f"stack(4, {parts}) AS (band, key)"
     )
     banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -928,16 +928,12 @@ def embedding_lsh_neardup(
         F.col("cnrm").alias("nrm"),
         "bucket",
     )
-    band_keys = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
-        f"(shiftright(bucket, b * {r}) & {(1 << r) - 1}) AS key))"
+    parts = ", ".join(
+        f"{b}, shiftright(bucket, {b * r}) & {(1 << r) - 1}"
+        for b in range(bands)
     )
-    banded = feats.select(
-        "doc", "v", "nrm", F.explode(band_keys).alias("bk")
-    ).select(
-        "doc", "v", "nrm",
-        F.col("bk.band").alias("band"),
-        F.col("bk.key").alias("key"),
+    banded = feats.selectExpr(
+        "doc", "v", "nrm", f"stack({bands}, {parts}) AS (band, key)"
     )
     banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
