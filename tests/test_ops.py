@@ -1121,3 +1121,50 @@ def test_sketch_streaming_misra_gries(spark, tmp_path):
     for u, t in truth.items():
         if t > mg.err:  # every item heavier than err must survive
             assert user_to_hash[u] in surv
+
+
+def test_sketch_streaming_kll(spark, tmp_path):
+    """Streaming KLL: exact-tracked count/min/max survive the stream's
+    append-partials merge, and the p50 stays inside the rank bound."""
+    from go_tdigest_spark.operators import kll_partials
+    from go_tdigest_spark.sketches import KLL
+    from go_tdigest_spark.streaming import (
+        read_stream_sketches,
+        sketch_stream_writer,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    li = table(spark, SF_TINY, "lineitem").select("l_returnflag", "l_extendedprice")
+    li.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("l_returnflag string, l_extendedprice double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        sketch_stream_writer(
+            stream,
+            lambda b: kll_partials(b, "l_extendedprice", ["l_returnflag"]),
+            state,
+            ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = read_stream_sketches(
+        spark, state, ["l_returnflag"], KLL.from_bytes
+    ).toPandas().set_index("l_returnflag")
+    pdf = li.toPandas()
+    for rf, grp in pdf.groupby("l_returnflag"):
+        v = grp["l_extendedprice"].dropna().to_numpy()
+        sk = KLL.from_bytes(bytes(merged.loc[rf]["sketch"]))
+        assert sk.count == v.size
+        assert sk.quantile(0.0) == v.min() and sk.quantile(1.0) == v.max()
+        p50 = sk.quantile(0.5)
+        rank_err = abs((v <= p50).mean() - 0.5)
+        assert rank_err <= 0.02, (rf, rank_err)
