@@ -503,12 +503,13 @@ def minhash_lsh_pairs(
     # is deterministic per pair, so computing it once per shared band and
     # deduping ids-only is equivalent — and the dedup exchange then
     # carries (id, id, double) rows instead of two full sig arrays per
-    # candidate (the r2 regression: VERDICT r2 "What's wrong" #3)
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-            lambda v: v,
-        )
+    # candidate (the r2 regression: VERDICT r2 "What's wrong" #3).
+    # The agreement count is UNROLLED into n_hashes codegen'd element
+    # comparisons — zip_with/filter lambdas are interpreted by Catalyst
+    # and this expression runs once per candidate JOIN row.
+    agree = sum(
+        F.when(F.col("a.sig")[i] == F.col("b.sig")[i], 1).otherwise(0)
+        for i in range(n_hashes)
     )
     return (
         a.join(
