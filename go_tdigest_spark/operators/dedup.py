@@ -442,6 +442,19 @@ def minhash_signatures(
     return pruned.mapInArrow(gen, f"doc {id_dt}, sig array<long>")
 
 
+def banded_stack(df: DataFrame, keep: list[str], key_exprs: list[str]) -> DataFrame:
+    """Emit one (band, key) row per band via a ``stack()`` generator —
+    argument expressions stay inside whole-stage codegen, unlike the
+    explode(transform(sequence, lambda)) form Catalyst interprets per
+    row.  One shared construction for every LSH banding site (minhash
+    signature bands, simhash 16-bit chunks, embedding hyperplane bands)
+    so quoting/typing fixes cannot drift between them."""
+    parts = ", ".join(f"{i}, {e}" for i, e in enumerate(key_exprs))
+    return df.selectExpr(
+        *keep, f"stack({len(key_exprs)}, {parts}) AS (band, key)"
+    )
+
+
 def cap_lsh_buckets(
     banded: DataFrame, keys: list[str], max_bucket_size: int | None
 ) -> DataFrame:
@@ -487,15 +500,13 @@ def minhash_lsh_pairs(
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, n_hashes, seed)
-    # stack() instead of explode(transform(...)): a generator whose arg
-    # expressions stay inside codegen — no interpreted lambda per row on
-    # the hottest dedup path
-    parts = ", ".join(
-        f"{i}, concat_ws(',', slice(sig, {i * rows + 1}, {rows}))"
-        for i in range(bands)
-    )
-    banded = sigs.selectExpr(
-        "doc", "sig", f"stack({bands}, {parts}) AS (band, key)"
+    banded = banded_stack(
+        sigs,
+        ["doc", "sig"],
+        [
+            f"concat_ws(',', slice(sig, {i * rows + 1}, {rows}))"
+            for i in range(bands)
+        ],
     )
     banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -506,11 +517,24 @@ def minhash_lsh_pairs(
     # candidate (the r2 regression: VERDICT r2 "What's wrong" #3).
     # The agreement count is UNROLLED into n_hashes codegen'd element
     # comparisons — zip_with/filter lambdas are interpreted by Catalyst
-    # and this expression runs once per candidate JOIN row.
-    agree = sum(
-        F.when(F.col("a.sig")[i] == F.col("b.sig")[i], 1).otherwise(0)
-        for i in range(n_hashes)
-    )
+    # and this expression runs once per candidate JOIN row.  Unrolling
+    # is linear in expression-tree size, so very wide signatures fall
+    # back to the O(1)-sized (interpreted) zip_with form instead of
+    # risking codegen splits / deep-tree analysis blowups.
+    if n_hashes <= 64:
+        agree = sum(
+            F.when(F.col("a.sig")[i] == F.col("b.sig")[i], 1).otherwise(0)
+            for i in range(n_hashes)
+        )
+    else:
+        agree = F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y
+                ),
+                lambda v: v,
+            )
+        )
     return (
         a.join(
             b,
@@ -784,11 +808,10 @@ def simhash_candidate_pairs(
     only pairs that happen to share an identical chunk are found.
     ``max_bucket_size`` drops hot chunk buckets before the self-join
     (see cap_lsh_buckets)."""
-    parts = ", ".join(
-        f"{i}, shiftright(simhash, {i * 16}) & 65535" for i in range(4)
-    )
-    banded = sigs.selectExpr(
-        "doc", "simhash", f"stack(4, {parts}) AS (band, key)"
+    banded = banded_stack(
+        sigs,
+        ["doc", "simhash"],
+        [f"shiftright(simhash, {i * 16}) & 65535" for i in range(4)],
     )
     banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -853,17 +876,32 @@ def embedding_similar_pairs(
         if n_rows is None:
             n_rows = base.count()
         n_blocks = max(1, math.ceil(n_rows / block_size))
-    pair_structs = (
-        f"transform(sequence(0, {n_blocks - 1}), "
-        "j -> struct(least(blk, j) AS bi, greatest(blk, j) AS bj))"
+    blocked = base.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("doc")), F.lit(n_blocks)).cast("int")
     )
-    replicated = (
-        base.withColumn(
-            "blk", F.pmod(F.xxhash64(F.col("doc")), F.lit(n_blocks)).cast("int")
+    if n_blocks <= 64:
+        # stack() keeps the pair expressions inside codegen; with 2
+        # literal args per block the expression count stays small
+        parts = ", ".join(
+            f"least(blk, {j}), greatest(blk, {j})" for j in range(n_blocks)
         )
-        .select("doc", "v", "blk", F.explode(F.expr(pair_structs)).alias("p"))
-        .select("doc", "v", "blk", F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"))
-    )
+        replicated = blocked.selectExpr(
+            "doc", "v", "blk", f"stack({n_blocks}, {parts}) AS (bi, bj)"
+        )
+    else:
+        # large grids: a transform() lambda is O(1) expression size —
+        # unrolling thousands of stack args would blow up codegen
+        pair_structs = (
+            f"transform(sequence(0, {n_blocks - 1}), "
+            "j -> struct(least(blk, j) AS bi, greatest(blk, j) AS bj))"
+        )
+        replicated = blocked.select(
+            "doc", "v", "blk", F.explode(F.expr(pair_structs)).alias("p")
+        ).select(
+            "doc", "v", "blk",
+            F.col("p.bi").alias("bi"),
+            F.col("p.bj").alias("bj"),
+        )
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = int(key[0]), int(key[1])
@@ -929,12 +967,13 @@ def embedding_lsh_neardup(
         F.col("cnrm").alias("nrm"),
         "bucket",
     )
-    parts = ", ".join(
-        f"{b}, shiftright(bucket, {b * r}) & {(1 << r) - 1}"
-        for b in range(bands)
-    )
-    banded = feats.selectExpr(
-        "doc", "v", "nrm", f"stack({bands}, {parts}) AS (band, key)"
+    banded = banded_stack(
+        feats,
+        ["doc", "v", "nrm"],
+        [
+            f"shiftright(bucket, {b * r}) & {(1 << r) - 1}"
+            for b in range(bands)
+        ],
     )
     banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
