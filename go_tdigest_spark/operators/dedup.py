@@ -498,8 +498,26 @@ def minhash_lsh_pairs(
     buckets before the join (default None preserves exact SQL-twin
     parity — the oracle does not cap).
     """
-    rows = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, n_hashes, seed)
+    return lsh_pairs_from_sigs(
+        sigs, n_hashes, bands, threshold, max_bucket_size
+    )
+
+
+def lsh_pairs_from_sigs(
+    sigs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate-pair stage over an existing ``(doc, sig)`` signature
+    table — the second half of ``minhash_lsh_pairs``, split out so
+    signature state maintained elsewhere (e.g. the streaming
+    append-signatures table, streaming/pipeline_stream.py) reuses the
+    identical banding/join/estimate plan without re-signing documents.
+    """
+    rows = n_hashes // bands
     banded = banded_stack(
         sigs,
         ["doc", "sig"],

@@ -1,3 +1,9 @@
+from .pipeline_stream import (
+    minhash_signature_stream_writer,
+    read_stream_lsh_pairs,
+    streaming_exact_dedup,
+    streaming_sample_fraction,
+)
 from .sketch_stream import read_stream_sketches, sketch_stream_writer
 from .stream_agg import (
     read_stream_digests,
@@ -8,10 +14,14 @@ from .stream_agg import (
 )
 
 __all__ = [
+    "minhash_signature_stream_writer",
     "read_stream_digests",
+    "read_stream_lsh_pairs",
     "read_stream_sketches",
     "read_windowed_digests",
     "sketch_stream_writer",
+    "streaming_exact_dedup",
+    "streaming_sample_fraction",
     "tdigest_stateful_stream",
     "tdigest_stream_writer",
     "tdigest_windowed_stream_writer",

@@ -1,0 +1,159 @@
+"""Structured Streaming surface for the training-data pipeline family
+(dedup + sampling) — the streaming counterpart of operators/dedup.py and
+operators/sample.py.
+
+Three shapes, chosen per operator by what state the semantics need:
+
+  - **Stateless map** (sampling): membership is a pure function of the
+    key's content hash, so the batch operator runs unchanged on a
+    streaming DataFrame and the stream's cumulative output is
+    bit-identical to the batch operator over the same rows.  No state,
+    no watermark, exactly-once for free.
+  - **Engine-managed keyed state** (exact dedup): Spark's streaming
+    ``dropDuplicates`` keeps one state row per key.  Unbounded over an
+    infinite stream — production deployments bound it with an event-time
+    watermark (``dropDuplicatesWithinWatermark``), trading "dedup across
+    all history" for "dedup within the lateness window", the standard
+    contract for append-only ingest dedup.
+  - **Append state, join on read** (near-dup / MinHash-LSH): signatures
+    are computed once per document per trigger and appended to a parquet
+    state table (the same exactly-once per-batch-overwrite machinery as
+    every sketch stream, sketch_stream.py); candidate pairs come from
+    the identical banded bucket join as the batch path, run at read
+    time over all committed signatures.  Signature computation — the
+    expensive text-shingling stage — is incremental; the cheap
+    ids+bands join is recomputed on read, which is the right trade
+    because candidates across OLD x NEW documents are exactly what an
+    incremental near-dup job must produce and a per-trigger join would
+    need the full history bucketed in executor state anyway.
+
+The mergeable-sketch streams (t-digest family) live in stream_agg.py /
+sketch_stream.py; this module is the document-pipeline side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import lsh_pairs_from_sigs, minhash_signatures
+from ..operators.sample import sample_fraction
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Exact streaming dedup on ``keys``: emit the first row seen per
+    key, drop the rest.  Returns a streaming DataFrame to
+    ``writeStream`` in append mode.
+
+    Without a watermark this keeps one state row per distinct key
+    forever — correct, but state grows with key cardinality; use it for
+    bounded key domains or replay-style jobs.  With ``ts_col`` +
+    ``watermark_delay`` (e.g. ``"10 minutes"``) it switches to
+    ``dropDuplicatesWithinWatermark``: duplicates arriving within the
+    lateness window are dropped and state older than the watermark is
+    evicted, so state is O(keys-per-window) — the production shape for
+    infinite ingest streams.
+    """
+    keys = list(keys)
+    if (ts_col is None) != (watermark_delay is None):
+        raise ValueError(
+            "ts_col and watermark_delay must be given together"
+        )
+    if ts_col is not None:
+        return stream_df.withWatermark(
+            ts_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(keys)
+    return stream_df.dropDuplicates(keys)
+
+
+def streaming_sample_fraction(
+    stream_df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample of a stream.
+
+    Delegates to the batch operator (operators/sample.py) unchanged:
+    the seeded content hash makes membership a pure per-row function,
+    so the operator is stateless and the cumulative stream output
+    equals ``sample_fraction`` over the union of all triggers — the
+    property that lets a backfill (batch) and the live stream produce
+    one consistent sample.  Duplicate keys are kept or dropped together
+    across the entire stream, no coordination required.
+    """
+    return sample_fraction(stream_df, key_col, fraction, seed)
+
+
+def minhash_signature_stream_writer(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    n: int = 2,
+    n_hashes: int = 16,
+    seed: int = 7,
+):
+    """Returns a DataStreamWriter maintaining an append-only MinHash
+    signature state table; start with ``.start()`` /
+    ``.trigger(availableNow=True)``.
+
+    Each micro-batch signs ONLY its own documents (minhash_signatures —
+    the vectorized mapInArrow kernel) and overwrites its ``batch_id=N``
+    directory, so crash replays never double-write and each document's
+    text is shingled exactly once over the stream's lifetime.  State is
+    O(docs x n_hashes x 8) bytes in object storage, not executor memory.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = minhash_signatures(
+            batch_df, text_col, id_col, n, n_hashes, seed
+        )
+        sigs.write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+
+
+def read_stream_lsh_pairs(
+    spark: SparkSession,
+    state_path: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs over every document signed so far
+    (committed batches only — _SUCCESS-gated, like every state reader).
+
+    Runs the IDENTICAL banded-bucket-join plan as the batch
+    ``minhash_lsh_pairs`` (lsh_pairs_from_sigs), so old x new candidate
+    pairs appear as soon as the new document's signature commits.
+    Signatures are deterministic, so a document re-ingested in a later
+    trigger yields a byte-identical signature row; the ids-only
+    ``dropDuplicates`` keeps the join input one row per document.
+    """
+    from .stream_agg import read_committed_partials
+
+    sigs, _ = read_committed_partials(
+        spark, state_path, ["doc", "sig"], count_units=False
+    )
+    return lsh_pairs_from_sigs(
+        sigs.dropDuplicates(["doc"]),
+        n_hashes,
+        bands,
+        threshold,
+        max_bucket_size,
+    )

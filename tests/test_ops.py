@@ -1168,3 +1168,164 @@ def test_sketch_streaming_kll(spark, tmp_path):
         p50 = sk.quantile(0.5)
         rank_err = abs((v <= p50).mean() - 0.5)
         assert rank_err <= 0.02, (rf, rank_err)
+
+
+# ------------------------------------------- streaming pipeline family
+
+
+def test_streaming_exact_dedup(spark, tmp_path, docs):
+    from go_tdigest_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    # duplicates split ACROSS triggers: same doc re-ingested in a later
+    # file must still be dropped by the keyed state
+    docs.where("doc_id < 4").coalesce(1).write.mode("append").parquet(src)
+    docs.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_exact_dedup(stream, ["doc_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT doc_id FROM dedup_stream").toPandas()
+    assert sorted(out["doc_id"]) == list(range(8))  # each key exactly once
+
+    # watermark-bounded variant drops the within-window re-ingests too
+    with pytest.raises(ValueError):
+        streaming_exact_dedup(stream, ["doc_id"], ts_col="ts")
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    from go_tdigest_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+    rows = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:02:00"),  # dup within the 10-minute window
+            (2, "2024-01-01 00:05:00"),
+            (2, "2024-01-01 00:06:00"),  # dup within the window
+            (3, "2024-01-01 00:07:00"),
+        ],
+        "k long, ts_s string",
+    ).selectExpr("k", "cast(ts_s as timestamp) AS ts")
+    rows.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_exact_dedup(
+            stream, ["k"], ts_col="ts", watermark_delay="10 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("wm_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT k FROM wm_dedup_stream").toPandas()
+    assert sorted(out["k"]) == [1, 2, 3]
+
+
+def test_streaming_sample_matches_batch(spark, tmp_path):
+    from go_tdigest_spark.operators import sample_fraction
+    from go_tdigest_spark.streaming import streaming_sample_fraction
+
+    src = str(tmp_path / "sample_src")
+    ckpt = str(tmp_path / "sample_ckpt")
+    docs = table(spark, SF_TINY, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        streaming_sample_fraction(stream, "doc_id", 0.4, seed=11)
+        .writeStream.format("memory")
+        .queryName("sample_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set(
+        spark.sql("SELECT doc_id FROM sample_stream").toPandas()["doc_id"]
+    )
+    expect = set(
+        sample_fraction(docs, "doc_id", 0.4, seed=11)
+        .toPandas()["doc_id"]
+    )
+    # stateless content-hash membership: cumulative stream output is
+    # IDENTICAL to the batch sample over the same rows
+    assert got == expect and 0 < len(got) < docs.count()
+
+
+def test_streaming_minhash_lsh(spark, tmp_path, docs):
+    from go_tdigest_spark.streaming import (
+        minhash_signature_stream_writer,
+        read_stream_lsh_pairs,
+    )
+
+    src = str(tmp_path / "mh_src")
+    state = str(tmp_path / "mh_state")
+    ckpt = str(tmp_path / "mh_ckpt")
+    # near-dup pairs SPAN the trigger boundary (0|7 and 3|4 split):
+    # candidates across old x new documents must appear on read
+    docs.where("doc_id < 4").coalesce(1).write.mode("append").parquet(src)
+    docs.where("doc_id >= 4").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        minhash_signature_stream_writer(
+            stream, "text", "doc_id", state, ckpt, n=2, n_hashes=16
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        read_stream_lsh_pairs(spark, state, n_hashes=16, threshold=0.5)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        minhash_lsh_pairs(docs, "text", "doc_id", n=2, n_hashes=16)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # identical banding/join plan over the streamed signature state ==
+    # the batch operator over the union of all triggers
+    pd.testing.assert_frame_equal(got, expect)
+    cross = set(map(tuple, got[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 7) in cross  # exact dups split across triggers
+    # state table carries trigger lineage
+    assert (
+        spark.read.parquet(state).select("batch_id").distinct().count() == 2
+    )
