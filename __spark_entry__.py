@@ -34,6 +34,7 @@ from go_tdigest_spark.functions import (
 from go_tdigest_spark.functions import text as T
 from go_tdigest_spark.operators import (
     ann,
+    asof,
     dedup,
     multimodal,
     sample,
@@ -631,6 +632,56 @@ def _q_sample_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderstatus", "o_orderkey", "o_totalprice")
 
 
+def _q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join (operators/asof.py): each purchase event picks up the
+    # most recent at-or-prior click by the same user — ONE shuffle on
+    # user_id + a window pass, never a non-equi nested-loop join.  The
+    # oracle is DuckDB's NATIVE ASOF LEFT JOIN (merge-join engine), so
+    # the two implementations are semantically independent.
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "ts", "user_id", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "ts", "user_id", F.col("value").alias("click_value")
+    )
+    return asof.asof_join(
+        purchases, clicks, "ts", ["user_id"], ["click_value"],
+        matched_ts_col="click_ts",
+    ).select("event_id", "user_id", "purchase_value", "click_value", "click_ts")
+
+
+def _q_range_join_error_blast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded interval (range) join: purchases within +/-5 minutes of an
+    # error by the same user.  Bucketed equijoin (replication factor
+    # <= 2 at bucket = interval length) + exact BETWEEN filter — the
+    # scale shape for range joins; delta_us is exact integer microsecond
+    # arithmetic so the BETWEEN oracle hashes exactly.
+    ev = table(spark, sf_dir, "events")
+    points = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    intervals = ev.where("event_type = 'error'").selectExpr(
+        "event_id AS error_id",
+        "user_id",
+        "ts AS error_ts",
+        "ts - INTERVAL 5 minutes AS w_start",
+        "ts + INTERVAL 5 minutes AS w_end",
+    )
+    j = asof.interval_join(
+        points, intervals, "ts", "w_start", "w_end", ["user_id"]
+    )
+    return j.select(
+        "purchase_id",
+        "error_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("error_ts").cast("timestamp"))
+        ).alias("delta_us"),
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # opaque binary payloads (ASCII-sanitized so the oracle can sum
@@ -687,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_present_keys": _q_bloom_present_keys,
         "sample_fraction_docs": _q_sample_fraction_docs,
         "sample_topk_orders": _q_sample_topk_orders,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "range_join_error_blast": _q_range_join_error_blast,
         "multimodal_meta": _q_multimodal_meta,
     }
 
@@ -889,6 +942,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderkey, o_totalprice
             FROM ({sample.sample_topk_per_group_sql(
                 'orders', 'o_orderkey', ['o_orderstatus'], 5, seed=3)})
+        """,
+        "asof_purchase_click": asof.asof_join_sql(
+            "SELECT event_id, ts, user_id, value AS purchase_value "
+            "FROM events WHERE event_type = 'purchase'",
+            "SELECT ts, user_id, value AS click_value "
+            "FROM events WHERE event_type = 'click'",
+            "ts",
+            ["user_id"],
+            ["click_value"],
+            ["event_id", "user_id", "purchase_value"],
+            matched_ts_col="click_ts",
+        ),
+        "range_join_error_blast": """
+            SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+                   p.user_id,
+                   epoch_us(p.ts) - epoch_us(e.ts) AS delta_us
+            FROM events p JOIN events e
+              ON p.user_id = e.user_id
+             AND p.event_type = 'purchase' AND e.event_type = 'error'
+             AND p.ts BETWEEN e.ts - INTERVAL 5 MINUTE
+                          AND e.ts + INTERVAL 5 MINUTE
         """,
         "heavy_hitter_users": """
             SELECT user_id, count(*) AS cnt

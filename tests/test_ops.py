@@ -1329,3 +1329,172 @@ def test_streaming_minhash_lsh(spark, tmp_path, docs):
     assert (
         spark.read.parquet(state).select("batch_id").distinct().count() == 2
     )
+
+
+# ------------------------------------------------- as-of / interval join
+
+
+def test_asof_join_backward_semantics(spark):
+    from go_tdigest_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00", 1),
+            ("a", "2024-01-01 10:05:00", 2),
+            ("b", "2024-01-01 10:00:00", 3),  # key with no right rows
+            ("a", "2024-01-01 09:00:00", 4),  # before all right rows
+        ],
+        "k string, ts_s string, lid int",
+    ).selectExpr("k", "cast(ts_s as timestamp) AS ts", "lid")
+    right = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 09:58:00", 1.0),
+            ("a", "2024-01-01 10:00:00", 2.0),
+        ],
+        "k string, ts_s string, v double",
+    ).selectExpr("k", "cast(ts_s as timestamp) AS ts", "v")
+
+    got = (
+        asof_join(left, right, "ts", ["k"], ["v"], matched_ts_col="mts")
+        .toPandas()
+        .set_index("lid")
+    )
+    assert got.loc[1, "v"] == 2.0  # inclusive: right at equal ts wins
+    assert got.loc[2, "v"] == 2.0
+    assert pd.isna(got.loc[3, "v"]) and pd.isna(got.loc[3, "mts"])
+    assert pd.isna(got.loc[4, "v"])
+    assert str(got.loc[1, "mts"]) == "2024-01-01 10:00:00"
+
+    # tolerance: lid=2 matched 5 minutes back -> nulled at 3 minutes
+    tol = (
+        asof_join(
+            left, right, "ts", ["k"], ["v"],
+            tolerance="3 minutes", matched_ts_col="mts",
+        )
+        .toPandas()
+        .set_index("lid")
+    )
+    assert tol.loc[1, "v"] == 2.0
+    assert pd.isna(tol.loc[2, "v"]) and pd.isna(tol.loc[2, "mts"])
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, "ts", ["k"], ["v"], direction="nearest")
+    with pytest.raises(ValueError):  # collision with left columns
+        asof_join(left, right.withColumnRenamed("v", "lid"), "ts", ["k"], ["lid"])
+
+
+def test_asof_join_forward_semantics(spark):
+    from go_tdigest_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1), ("a", "2024-01-01 10:01:00", 2)],
+        "k string, ts_s string, lid int",
+    ).selectExpr("k", "cast(ts_s as timestamp) AS ts", "lid")
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 2.0), ("a", "2024-01-01 10:30:00", 3.0)],
+        "k string, ts_s string, v double",
+    ).selectExpr("k", "cast(ts_s as timestamp) AS ts", "v")
+    got = (
+        asof_join(left, right, "ts", ["k"], ["v"], direction="forward")
+        .toPandas()
+        .set_index("lid")
+    )
+    assert got.loc[1, "v"] == 2.0  # inclusive at equal ts
+    assert got.loc[2, "v"] == 3.0
+
+
+def test_asof_join_matches_duckdb_asof(spark):
+    """Spark window-based as-of == DuckDB's native merge-join ASOF over
+    real event data (semantically independent implementations)."""
+    import duckdb
+
+    from go_tdigest_spark.operators import asof_join, asof_join_sql
+
+    ev = table(spark, SF_TINY, "events")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "ts", "user_id", F.col("value").alias("click_value")
+    )
+    got = (
+        asof_join(
+            purchases, clicks, "ts", ["user_id"], ["click_value"],
+            matched_ts_col="click_ts",
+        )
+        .select("event_id", "user_id", "value", "click_value", "click_ts")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    src = "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    sql = asof_join_sql(
+        f"SELECT event_id, ts, user_id, value FROM {src} WHERE event_type = 'purchase'",
+        f"SELECT ts, user_id, value AS click_value FROM {src} WHERE event_type = 'click'",
+        "ts",
+        ["user_id"],
+        ["click_value"],
+        ["event_id", "user_id", "value"],
+        matched_ts_col="click_ts",
+    )
+    expect = duckdb.sql(sql).df().sort_values("event_id").reset_index(drop=True)
+    for c in ("click_ts",):
+        got[c] = got[c].astype("datetime64[us]")
+        expect[c] = expect[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    assert got["click_value"].isna().any()  # left-join NULL path exercised
+
+
+def test_interval_join_matches_between_join(spark):
+    import duckdb
+
+    from go_tdigest_spark.operators import interval_join
+
+    ev = table(spark, SF_TINY, "events")
+    points = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    intervals = ev.where("event_type = 'error'").selectExpr(
+        "event_id AS error_id",
+        "user_id",
+        "ts - INTERVAL 5 minutes AS w_start",
+        "ts + INTERVAL 5 minutes AS w_end",
+    )
+    got = interval_join(
+        points, intervals, "ts", "w_start", "w_end", ["user_id"]
+    )
+    pairs = {
+        (r["purchase_id"], r["error_id"])
+        for _, r in got.select("purchase_id", "error_id").toPandas().iterrows()
+    }
+    src = "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    expect = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""SELECT p.event_id, e.event_id FROM {src} p JOIN {src} e
+                ON p.user_id = e.user_id
+               AND p.event_type = 'purchase' AND e.event_type = 'error'
+               AND p.ts BETWEEN e.ts - INTERVAL 5 MINUTE
+                            AND e.ts + INTERVAL 5 MINUTE"""
+        ).fetchall()
+    }
+    assert pairs == expect and len(pairs) > 0
+
+    # bucket narrower than the interval: more replication, same result
+    narrow = interval_join(
+        points, intervals, "ts", "w_start", "w_end", ["user_id"],
+        bucket="2 minutes",
+    )
+    pairs2 = {
+        (r["purchase_id"], r["error_id"])
+        for _, r in narrow.select("purchase_id", "error_id")
+        .toPandas()
+        .iterrows()
+    }
+    assert pairs2 == expect
+
+    with pytest.raises(ValueError):  # non-key column on both sides
+        interval_join(
+            points.withColumn("w_start", F.col("ts")),
+            intervals, "ts", "w_start", "w_end", ["user_id"],
+        )

@@ -406,6 +406,8 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         "hll_users_exact",
         "cms_total_lineitem",
         "bloom_present_keys",
+        "asof_purchase_click",
+        "range_join_error_blast",
     ]
     for name in hot:
         df = qs[name](spark, sf)
@@ -414,6 +416,11 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         # BatchEvalPython = row-wise Python UDF; Arrow paths show up as
         # ArrowEvalPython / MapInArrow / FlatMapGroupsInPandas instead
         assert "BatchEvalPython" not in plan, name
+        if name in ("asof_purchase_click", "range_join_error_blast"):
+            # the operators' reason to exist: time-predicate joins must
+            # NOT degrade to a nested-loop/cartesian physical plan
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "CartesianProduct" not in plan, name
 
     # the LSH+exact-verify dedup (VERDICT r2 #2): the only Python in the
     # plan is the vectorized mapInArrow hashing kernels — the verify
