@@ -671,14 +671,14 @@ def _q_range_join_error_blast(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = asof.interval_join(
         points, intervals, "ts", "w_start", "w_end", ["user_id"]
     )
+    # timestampdiff on the NTZ columns = pure wall-clock microseconds,
+    # matching the oracle's epoch_us difference under ANY session TZ
+    # (a cast through session-TZ TIMESTAMP would diverge across DST gaps)
     return j.select(
         "purchase_id",
         "error_id",
         "user_id",
-        (
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(F.col("error_ts").cast("timestamp"))
-        ).alias("delta_us"),
+        F.expr("timestampdiff(MICROSECOND, error_ts, ts)").alias("delta_us"),
     )
 
 

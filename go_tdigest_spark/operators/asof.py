@@ -25,6 +25,11 @@ before left at equal ts); forward mirrors it.  Among right rows sharing
 one (keys, ts) the winner would be partition-order dependent, so right
 must be unique on (by..., ts_col) — same caller contract as
 sample_topk_per_group's unique-key rule.
+
+NULL semantics match the SQL oracles: a NULL key or NULL timestamp on
+either side never matches (right rows with one are dropped; left rows
+with one come back unmatched) — Spark's window partitioning would
+otherwise group NULL keys together, which no SQL join does.
 """
 
 from __future__ import annotations
@@ -75,18 +80,23 @@ def asof_join(
             f"input columns collide with reserved names: {sorted(reserved)}"
         )
 
+    # SQL join semantics for NULLs (matches the ASOF oracle's ON
+    # clause): right rows with a NULL key or NULL timestamp can never
+    # match, so drop them up front; NULL-key/-ts LEFT rows fall out as
+    # unmatched below.
+    r_clean = right
+    for k in [*by, ts_col]:
+        r_clean = r_clean.where(F.col(k).isNotNull())
+
     # inclusive tie order: backward wants right BEFORE left at equal ts
     # (so last() sees it), forward wants right AFTER left (so first()
     # starting at the current row sees it)
     l_src, r_src = (1, 0) if direction == "backward" else (0, 1)
-    l_tag = left.withColumn("_src", F.lit(l_src)).withColumn(
-        "_rts", F.lit(None).cast(left.schema[ts_col].dataType)
-    )
-    r_tag = right.select(
+    l_tag = left.withColumn("_src", F.lit(l_src))
+    r_tag = r_clean.select(
         *by,
         F.col(ts_col),
         F.lit(r_src).alias("_src"),
-        F.col(ts_col).alias("_rts"),
         *[F.col(c) for c in value_cols],
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
@@ -97,30 +107,46 @@ def asof_join(
             .orderBy(ts_col, "_src")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     else:
         w = (
             Window.partitionBy(*by)
             .orderBy(ts_col, "_src")
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
 
-    matched_ts = carry("_rts")
+    # carry the matched right row as ONE struct so the matched timestamp
+    # and the values always come from the SAME row — carrying columns
+    # independently with ignorenulls would let a genuinely-NULL value on
+    # the matched row fall through to an older row's value
+    matched = pick(
+        F.when(
+            F.col("_src") == r_src,
+            F.struct(
+                F.col(ts_col).alias("_rts"),
+                *[F.col(c) for c in value_cols],
+            ),
+        )
+    )
+    matched_ts = matched["_rts"]
+
+    # a NULL-ts left row matches nothing (SQL comparison semantics);
+    # without this, forward mode's nulls-first sort would hand it the
+    # earliest right row
+    ok = F.col(ts_col).isNotNull()
     if tolerance is not None:
         if direction == "backward":
-            ok = matched_ts >= F.col(ts_col) - F.expr(
-                f"INTERVAL {tolerance}"
+            ok = ok & (
+                matched_ts >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
             )
         else:
-            ok = matched_ts <= F.col(ts_col) + F.expr(
-                f"INTERVAL {tolerance}"
+            ok = ok & (
+                matched_ts <= F.col(ts_col) + F.expr(f"INTERVAL {tolerance}")
             )
-    else:
-        ok = F.lit(True)
 
     out_vals = [
-        F.when(ok, carry(c)).otherwise(F.lit(None)).alias(c)
+        F.when(ok, matched[c]).otherwise(F.lit(None)).alias(c)
         for c in value_cols
     ]
     if matched_ts_col is not None:
@@ -149,17 +175,27 @@ def asof_join_sql(
     """DuckDB twin via its NATIVE ``ASOF LEFT JOIN`` — a semantically
     independent oracle (merge-join implementation, not a window
     re-derivation of the Spark plan).  Inclusive bound matches the
-    Spark tie order."""
+    Spark tie order.
+
+    The operator's NULL contract is spelled out rather than left to the
+    engine: right rows with NULL keys/ts are filtered (DuckDB 1.0's
+    ASOF matches NULL ts to NULL ts), and emitted values are gated on
+    the left ts being non-NULL (DuckDB's ASOF inequality treats a NULL
+    probe as high and hands it the last right row)."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     cmp = ">=" if direction == "backward" else "<="
     keys = " AND ".join(f"l.{k} = r.{k}" for k in by)
-    sel = [f"l.{c}" for c in left_out] + [f"r.{c} AS {c}" for c in value_cols]
+    not_null = " AND ".join(f"{k} IS NOT NULL" for k in [*by, ts_col])
+    gate = f"CASE WHEN l.{ts_col} IS NOT NULL THEN %s END AS %s"
+    sel = [f"l.{c}" for c in left_out] + [
+        gate % (f"r.{c}", c) for c in value_cols
+    ]
     if matched_ts_col is not None:
-        sel.append(f"r.{ts_col} AS {matched_ts_col}")
+        sel.append(gate % (f"r.{ts_col}", matched_ts_col))
     return (
         f"SELECT {', '.join(sel)} FROM ({left_sql}) l "
-        f"ASOF LEFT JOIN ({right_sql}) r "
+        f"ASOF LEFT JOIN (SELECT * FROM ({right_sql}) WHERE {not_null}) r "
         f"ON {keys} AND l.{ts_col} {cmp} r.{ts_col}"
     )
 

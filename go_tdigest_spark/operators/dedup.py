@@ -516,8 +516,24 @@ def lsh_pairs_from_sigs(
     signature state maintained elsewhere (e.g. the streaming
     append-signatures table, streaming/pipeline_stream.py) reuses the
     identical banding/join/estimate plan without re-signing documents.
+
+    Signature width is validated per row (assert_true): an externally
+    stored table banded with the wrong ``n_hashes`` would otherwise
+    degenerate silently — out-of-range ``slice`` yields empty band keys
+    shared by EVERY doc (a near-cross-join) and NULL elements undercount
+    the agreement estimate.
     """
     rows = n_hashes // bands
+    sigs = sigs.withColumn(
+        "sig",
+        F.when(
+            F.assert_true(
+                F.size("sig") == F.lit(n_hashes),
+                F.lit(f"signature width != n_hashes={n_hashes}"),
+            ).isNull(),
+            F.col("sig"),
+        ),
+    )
     banded = banded_stack(
         sigs,
         ["doc", "sig"],

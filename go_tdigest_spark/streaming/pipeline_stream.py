@@ -106,24 +106,20 @@ def minhash_signature_stream_writer(
     ``.trigger(availableNow=True)``.
 
     Each micro-batch signs ONLY its own documents (minhash_signatures —
-    the vectorized mapInArrow kernel) and overwrites its ``batch_id=N``
-    directory, so crash replays never double-write and each document's
-    text is shingled exactly once over the stream's lifetime.  State is
+    the vectorized mapInArrow kernel), so each document's text is
+    shingled exactly once over the stream's lifetime.  State is
     O(docs x n_hashes x 8) bytes in object storage, not executor memory.
+    Delegates to the generic append-partials writer (sketch_stream.py) —
+    ONE copy of the exactly-once per-batch-overwrite machinery serves
+    every state table.
     """
+    from .sketch_stream import sketch_stream_writer
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sigs = minhash_signatures(
-            batch_df, text_col, id_col, n, n_hashes, seed
-        )
-        sigs.write.mode("overwrite").parquet(
-            f"{state_path}/batch_id={batch_id}"
-        )
-
-    return (
-        stream_df.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
+    return sketch_stream_writer(
+        stream_df,
+        lambda b: minhash_signatures(b, text_col, id_col, n, n_hashes, seed),
+        state_path,
+        checkpoint_path,
     )
 
 
@@ -140,20 +136,22 @@ def read_stream_lsh_pairs(
 
     Runs the IDENTICAL banded-bucket-join plan as the batch
     ``minhash_lsh_pairs`` (lsh_pairs_from_sigs), so old x new candidate
-    pairs appear as soon as the new document's signature commits.
-    Signatures are deterministic, so a document re-ingested in a later
-    trigger yields a byte-identical signature row; the ids-only
-    ``dropDuplicates`` keeps the join input one row per document.
+    pairs appear as soon as the new document's signature commits.  A doc
+    id re-ingested in a later trigger resolves LATEST-WINS (max_by on
+    the state table's batch_id lineage column — deterministic, unlike a
+    dropDuplicates pick), which handles edited re-ingests; within one
+    trigger doc ids must be unique (the usual id contract).
     """
+    from pyspark.sql import functions as F
+
     from .stream_agg import read_committed_partials
 
     sigs, _ = read_committed_partials(
-        spark, state_path, ["doc", "sig"], count_units=False
+        spark, state_path, ["doc", "sig", "batch_id"], count_units=False
+    )
+    latest = sigs.groupBy("doc").agg(
+        F.max_by("sig", "batch_id").alias("sig")
     )
     return lsh_pairs_from_sigs(
-        sigs.dropDuplicates(["doc"]),
-        n_hashes,
-        bands,
-        threshold,
-        max_bucket_size,
+        latest, n_hashes, bands, threshold, max_bucket_size
     )

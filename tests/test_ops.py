@@ -1498,3 +1498,111 @@ def test_interval_join_matches_between_join(spark):
             points.withColumn("w_start", F.col("ts")),
             intervals, "ts", "w_start", "w_end", ["user_id"],
         )
+
+
+def test_asof_join_null_semantics(spark):
+    """Review findings: (a) a genuinely-NULL value on the matched right
+    row must NOT fall through to an older row's value; (b) NULL by-keys
+    never match (SQL join semantics, unlike window partitioning)."""
+    import duckdb
+
+    from go_tdigest_spark.operators import asof_join, asof_join_sql
+
+    left = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:05:00", 1),
+            (None, "2024-01-01 10:05:00", 2),  # NULL key: never matches
+            ("a", None, 3),  # NULL ts: never matches
+        ],
+        "k string, ts_s string, lid int",
+    ).selectExpr("k", "cast(ts_s as timestamp) AS ts", "lid")
+    right = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 09:00:00", 1.0),
+            ("a", "2024-01-01 10:00:00", None),  # matched row, NULL value
+            (None, "2024-01-01 10:00:00", 9.0),  # NULL key: never matches
+            ("a", None, 8.0),  # NULL ts: never matches
+        ],
+        "k string, ts_s string, v double",
+    ).selectExpr("k", "cast(ts_s as timestamp) AS ts", "v")
+
+    got = (
+        asof_join(left, right, "ts", ["k"], ["v"], matched_ts_col="mts")
+        .toPandas()
+        .set_index("lid")
+    )
+    assert pd.isna(got.loc[1, "v"])  # the 10:00 row's NULL, not 09:00's 1.0
+    assert str(got.loc[1, "mts"]) == "2024-01-01 10:00:00"
+    assert pd.isna(got.loc[2, "v"]) and pd.isna(got.loc[2, "mts"])
+    assert pd.isna(got.loc[3, "v"]) and pd.isna(got.loc[3, "mts"])
+    fwd = (
+        asof_join(
+            left, right, "ts", ["k"], ["v"],
+            direction="forward", matched_ts_col="mts",
+        )
+        .toPandas()
+        .set_index("lid")
+    )
+    assert pd.isna(fwd.loc[3, "v"])  # NULL left ts must not grab a match
+
+    # same construction through DuckDB's native ASOF (the oracle)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l AS SELECT * FROM (VALUES "
+        "('a', TIMESTAMP '2024-01-01 10:05:00', 1), "
+        "(NULL, TIMESTAMP '2024-01-01 10:05:00', 2), "
+        "('a', NULL, 3)) t(k, ts, lid)"
+    )
+    con.execute(
+        "CREATE TABLE r AS SELECT * FROM (VALUES "
+        "('a', TIMESTAMP '2024-01-01 09:00:00', 1.0), "
+        "('a', TIMESTAMP '2024-01-01 10:00:00', NULL), "
+        "(NULL, TIMESTAMP '2024-01-01 10:00:00', 9.0), "
+        "('a', NULL, 8.0)) t(k, ts, v)"
+    )
+    sql = asof_join_sql(
+        "SELECT * FROM l", "SELECT * FROM r", "ts", ["k"], ["v"],
+        ["lid"], matched_ts_col="mts",
+    )
+    expect = con.sql(sql).df().set_index("lid")
+    for lid in (1, 2, 3):
+        assert pd.isna(got.loc[lid, "v"]) == pd.isna(expect.loc[lid, "v"])
+
+
+def test_lsh_pairs_from_sigs_width_guard(spark):
+    from go_tdigest_spark.operators.dedup import lsh_pairs_from_sigs
+
+    sigs = spark.createDataFrame(
+        [(0, [1, 2, 3, 4]), (1, [1, 2, 3, 4])], "doc long, sig array<bigint>"
+    )
+    with pytest.raises(Exception, match="signature width"):
+        lsh_pairs_from_sigs(sigs, n_hashes=8, bands=4).collect()
+    assert lsh_pairs_from_sigs(sigs, n_hashes=4, bands=4).count() == 1
+
+
+def test_stream_lsh_pairs_latest_wins(spark, tmp_path, docs):
+    """Re-ingested doc ids resolve to the LATEST batch's signature —
+    deterministic, and reflecting the edited text."""
+    from go_tdigest_spark.operators import minhash_lsh_pairs
+    from go_tdigest_spark.operators.dedup import minhash_signatures
+    from go_tdigest_spark.streaming import read_stream_lsh_pairs
+
+    state = str(tmp_path / "lw_state")
+    v2 = spark.createDataFrame(
+        # doc 5 edited to become a near-dup of docs 0/1/7
+        [(5, "the quick brown fox jumps over the lazy dog", "code")],
+        "doc_id long, text string, source string",
+    )
+    minhash_signatures(docs, "text", "doc_id").write.parquet(
+        f"{state}/batch_id=0"
+    )
+    minhash_signatures(v2, "text", "doc_id").write.parquet(
+        f"{state}/batch_id=1"
+    )
+    got = read_stream_lsh_pairs(spark, state).toPandas()
+    latest_docs = docs.where("doc_id != 5").unionByName(v2)
+    expect = minhash_lsh_pairs(latest_docs, "text", "doc_id").toPandas()
+    assert {tuple(r) for r in got[["doc_a", "doc_b"]].to_numpy()} == {
+        tuple(r) for r in expect[["doc_a", "doc_b"]].to_numpy()
+    }
+    assert (0, 5) in {tuple(r) for r in got[["doc_a", "doc_b"]].to_numpy()}
