@@ -473,6 +473,19 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantizer ANN in its exhaustive-probe configuration
+    # (nprobe = n_cells): scans every cell THROUGH the cell-equijoin
+    # plan, so the result is exactly the brute-force top-k and the
+    # oracle hash-checks the whole assign -> probe -> re-rank pipeline.
+    # Partial-probe recall is pinned in tests (the approximate mode).
+    emb = table(spark, sf_dir, "embeddings")
+    return ann.ivf_ann_topk(
+        emb, "embedding", "vec_id", query_ids=[5, 6, 7, 8, 9], k=5,
+        n_cells=16, nprobe=16, dim=64,
+    )
+
+
 def _q_kll_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_tdigest_spark.operators import kll_agg, kll_count, kll_quantile
 
@@ -727,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "kll_stats_lineitem": _q_kll_stats_lineitem,
         "hll_distinct_users": _q_hll_distinct_users,
         "hll_users_exact": _q_hll_users_exact,
@@ -1063,6 +1077,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_topk": ann.cosine_topk_sql(
             "embeddings", "embedding", "vec_id", query_ids=[0, 1, 2, 3, 4], k=5
+        ),
+        # exhaustive-probe IVF == brute force, so the brute-force SQL is
+        # its exact oracle (different query ids than ann_cosine_topk)
+        "ann_ivf_topk": ann.cosine_topk_sql(
+            "embeddings", "embedding", "vec_id", query_ids=[5, 6, 7, 8, 9], k=5
         ),
         # dedup_simhash / ann_lsh_topk: crc32-based hashing / LSH recall —
         # not SQL-replicable; rows-only driver check, properties in tests/

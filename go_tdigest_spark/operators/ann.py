@@ -337,3 +337,167 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "nn_id", "cosine")
     )
+
+
+# --------------------------------------------------------- IVF (coarse
+# quantizer) ANN — the third tier: cluster the corpus into cells, search
+# only the nprobe cells nearest each query.
+
+
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    seed: int = 1,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: ``n_cells`` corpus vectors chosen
+    by the seeded content hash of their id (the sampling-family kernel,
+    operators/sample.py), L2-normalized.  A sampled quantizer instead of
+    Lloyd iterations keeps the index a pure function of the data —
+    re-runs, retries, and different partitionings build the IDENTICAL
+    index (Lloyd's distributed float reductions are partition-order
+    sensitive, which would make cell assignments flap).  Sampling is the
+    standard kmeans initializer, so cell balance matches a kmeans++
+    round-0 index; recall is tuned with nprobe, and tests pin it against
+    the exact baseline.
+
+    Returns a (m, dim) float64 array, m <= n_cells (zero-norm vectors
+    are never picked).  Driver-side collect of m rows only — the model,
+    same posture as broadcasting the query set.
+    """
+    if n_cells < 1:
+        raise ValueError("n_cells must be >= 1")
+    from .sample import sample_hash_frag
+
+    rows = (
+        df.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(vec_col).alias("_v"),
+        )
+        .where(F.col(vec_col).isNotNull() & (F.expr(_norm_frag("_v")) > 0))
+        .orderBy(F.expr(sample_hash_frag("_id", "spark", seed)), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no non-zero vectors to build centroids from")
+    C = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+) -> DataFrame:
+    """Corpus -> (cell, nn_id, cvec, cnrm): each vector joins its
+    nearest centroid's cell (max cosine; ties to the lowest cell id via
+    argmax).  One ``V @ C.T`` BLAS product per Arrow batch — the same
+    vectorized shape as lsh_features.  Zero-norm vectors are dropped."""
+    import pyarrow as pa
+
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+    id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
+    vec_dt = df.select(vec_col).schema.fields[0].dataType.simpleString()
+    pruned = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec_arr = batch.column(1)
+            flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"expected fixed-length {dim} vectors, got "
+                    f"{flat.size} values for {n} rows"
+                )
+            mat = flat.astype(np.float64, copy=False).reshape(n, dim)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            keep = nrm > 0
+            cell = np.argmax(mat @ C.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cell[keep], type=pa.int32()),
+                    batch.column(0).filter(pa.array(keep)),
+                    vec_arr.filter(pa.array(keep)),
+                    pa.array(nrm[keep], type=pa.float64()),
+                ],
+                names=["cell", "nn_id", "cvec", "cnrm"],
+            )
+
+    return pruned.mapInArrow(
+        gen, f"cell int, nn_id {id_dt}, cvec {vec_dt}, cnrm double"
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` cells nearest each query,
+    exact-cosine re-rank only those cells' members.  The corpus streams
+    through a cell equijoin against the broadcast (query, cell) probe
+    list — candidate volume is ~corpus * nprobe / n_cells, never the
+    full product.
+
+    ``nprobe >= n_cells`` probes every cell, making the result EXACTLY
+    the brute-force top-k (cosine_topk) through the IVF plan — the
+    configuration the hash-exact driver oracle checks; partial-probe
+    recall is pinned in tests.  Query vectors are collected driver-side
+    to pick their probe cells — bounded by |query_ids|, the same rows
+    cosine_topk broadcasts.
+    """
+    spark = df.sparkSession
+    C = ivf_centroids(df, vec_col, id_col, n_cells, seed)
+    corpus = ivf_assign(df, vec_col, id_col, C)
+    nprobe = min(nprobe, C.shape[0])
+
+    qrows = (
+        df.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r[1], dtype=np.float64)
+        nrm = float(np.sqrt((v * v).sum()))
+        if nrm == 0.0 or v.size != dim:
+            continue
+        sims = C @ (v / nrm)
+        # stable sort: cosine ties resolve to the lower cell id
+        for c in np.argsort(-sims, kind="stable")[:nprobe]:
+            probe_rows.append((r[0], int(c), v.tolist(), nrm))
+    probes = spark.createDataFrame(
+        probe_rows,
+        f"query_id {id_dt}, cell int, qvec array<double>, qnrm double",
+    )
+    # a corpus vector lives in exactly ONE cell and each query probes
+    # distinct cells, so a (query, candidate) pair appears at most once
+    # — no dedup pass needed
+    cand = corpus.join(
+        F.broadcast(probes),
+        (corpus["cell"] == probes["cell"])
+        & (F.col("query_id") != F.col("nn_id")),
+    ).drop("cell")
+    scored = cosine_rerank(
+        cand, ["query_id", "nn_id"], "qvec", "cvec", "qnrm", "cnrm", dim
+    ).select("query_id", "nn_id", F.round("_cos_raw", 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "nn_id", "cosine")
+    )

@@ -1606,3 +1606,66 @@ def test_stream_lsh_pairs_latest_wins(spark, tmp_path, docs):
         tuple(r) for r in expect[["doc_a", "doc_b"]].to_numpy()
     }
     assert (0, 5) in {tuple(r) for r in got[["doc_a", "doc_b"]].to_numpy()}
+
+
+# ----------------------------------------------------------- IVF ANN
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark):
+    """nprobe = n_cells scans every cell, so the IVF plan must return
+    EXACTLY the brute-force top-k (same rows, ranks, rounded cosines)."""
+    from go_tdigest_spark.operators import cosine_topk, ivf_ann_topk
+
+    emb = table(spark, SF_TINY, "embeddings")
+    qids = [5, 6, 7, 8, 9]
+    got = (
+        ivf_ann_topk(
+            emb, "embedding", "vec_id", qids, k=5, n_cells=16, nprobe=16
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        cosine_topk(emb, "embedding", "vec_id", qids, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_ivf_partial_probe_recall(spark):
+    from go_tdigest_spark.operators import cosine_topk, ivf_ann_topk
+
+    emb = table(spark, SF_TINY, "embeddings")
+    qids = list(range(20))
+    exact = cosine_topk(emb, "embedding", "vec_id", qids, k=5).toPandas()
+    approx = ivf_ann_topk(
+        emb, "embedding", "vec_id", qids, k=5, n_cells=16, nprobe=8
+    ).toPandas()
+    ex = {(r["query_id"], r["nn_id"]) for _, r in exact.iterrows()}
+    ap = {(r["query_id"], r["nn_id"]) for _, r in approx.iterrows()}
+    recall = len(ex & ap) / len(ex)
+    # 8/16 cells probed: measured 0.73 on this (near-uniform, hence
+    # IVF-hostile) fixture; floor 0.6 leaves headroom — a regression in
+    # cell assignment or probe selection collapses recall, not wiggles it
+    assert recall >= 0.6, recall
+    # every query still returns k rows (cells are non-degenerate)
+    assert sorted(approx.groupby("query_id").size().unique()) == [5]
+
+
+def test_ivf_assign_covers_corpus(spark):
+    from go_tdigest_spark.operators import ivf_assign, ivf_centroids
+
+    emb = table(spark, SF_TINY, "embeddings")
+    C = ivf_centroids(emb, "embedding", "vec_id", 8)
+    assert C.shape == (8, 64)
+    # determinism: same data -> identical centroids
+    C2 = ivf_centroids(emb, "embedding", "vec_id", 8)
+    assert np.array_equal(C, C2)
+    assigned = ivf_assign(emb, "embedding", "vec_id", C)
+    pdf = assigned.toPandas()
+    assert len(pdf) == emb.count()  # fixture has no zero vectors
+    assert pdf["cell"].between(0, 7).all()
+    assert pdf["cell"].nunique() > 1  # sampled quantizer actually splits
