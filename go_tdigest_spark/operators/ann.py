@@ -33,6 +33,32 @@ def hyperplanes(n_planes: int, dim: int) -> np.ndarray:
     return vals / 97.0 - 0.5
 
 
+def _vec_matrix(vec_arr, n: int, dim: int) -> np.ndarray:
+    """Arrow list column -> (n, dim) float64 matrix with the fixed-width
+    guard — the ONE copy of the flatten/validate/cast machinery shared
+    by lsh_features, ivf_assign, and cosine_rerank."""
+    flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
+    if flat.size != n * dim:
+        raise ValueError(
+            f"expected fixed-length {dim} vectors, got "
+            f"{flat.size} values for {n} rows"
+        )
+    return flat.astype(np.float64, copy=False).reshape(n, dim)
+
+
+def _seq_sq_norm(mat: np.ndarray) -> np.ndarray:
+    """Row norms accumulated SEQUENTIALLY over the dimension axis —
+    bit-identical to the `_norm_frag` expression fold (0 + x0^2 + x1^2
+    ...), unlike numpy's pairwise `.sum(axis=1)`.  Exactness paths
+    (exhaustive IVF == cosine_topk) need the identical float order; a
+    pairwise norm can differ in the last ulp and flip a 4-decimal
+    rounding boundary."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc += mat[:, j] * mat[:, j]
+    return np.sqrt(acc)
+
+
 def _dot_frag(vec_a: str, vec_b: str) -> str:
     return (
         f"aggregate(zip_with({vec_a}, {vec_b}, "
@@ -179,13 +205,7 @@ def lsh_features(
             if n == 0:
                 continue
             vec_arr = batch.column(1)
-            flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
-            if flat.size != n * dim:
-                raise ValueError(
-                    f"expected fixed-length {dim} vectors, got "
-                    f"{flat.size} values for {n} rows"
-                )
-            mat = flat.astype(np.float64, copy=False).reshape(n, dim)
+            mat = _vec_matrix(vec_arr, n, dim)
             nrm = np.sqrt((mat * mat).sum(axis=1))
             bits = (mat @ planes.T) >= 0.0  # (n, n_planes) BLAS
             bucket = (bits.astype(np.float64) @ pow2).astype(np.int64)
@@ -239,25 +259,8 @@ def cosine_rerank(
             n = batch.num_rows
             if n == 0:
                 continue
-            fa = (
-                batch.column(k)
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64, copy=False)
-            )
-            fb = (
-                batch.column(k + 1)
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64, copy=False)
-            )
-            if fa.size != n * dim or fb.size != n * dim:
-                raise ValueError(
-                    f"expected fixed-length {dim} vectors, got "
-                    f"{fa.size}/{fb.size} values for {n} rows"
-                )
-            A = fa.reshape(n, dim)
-            B = fb.reshape(n, dim)
+            A = _vec_matrix(batch.column(k), n, dim)
+            B = _vec_matrix(batch.column(k + 1), n, dim)
             acc = np.zeros(n, dtype=np.float64)
             for j in range(dim):
                 acc += A[:, j] * B[:, j]
@@ -410,14 +413,10 @@ def ivf_assign(
             if n == 0:
                 continue
             vec_arr = batch.column(1)
-            flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
-            if flat.size != n * dim:
-                raise ValueError(
-                    f"expected fixed-length {dim} vectors, got "
-                    f"{flat.size} values for {n} rows"
-                )
-            mat = flat.astype(np.float64, copy=False).reshape(n, dim)
-            nrm = np.sqrt((mat * mat).sum(axis=1))
+            mat = _vec_matrix(vec_arr, n, dim)
+            # sequential norm (see _seq_sq_norm): cnrm feeds the
+            # exactness-path cosine, so it must match _norm_frag's fold
+            nrm = _seq_sq_norm(mat)
             keep = nrm > 0
             cell = np.argmax(mat @ C.T, axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
@@ -443,7 +442,7 @@ def ivf_ann_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 1,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` cells nearest each query,
@@ -454,13 +453,25 @@ def ivf_ann_topk(
 
     ``nprobe >= n_cells`` probes every cell, making the result EXACTLY
     the brute-force top-k (cosine_topk) through the IVF plan — the
-    configuration the hash-exact driver oracle checks; partial-probe
-    recall is pinned in tests.  Query vectors are collected driver-side
-    to pick their probe cells — bounded by |query_ids|, the same rows
-    cosine_topk broadcasts.
+    configuration the hash-exact driver oracle checks (norms and dots
+    accumulate in the same float order as the expression twins);
+    partial-probe recall is pinned in tests.  Query vectors are
+    collected driver-side to pick their probe cells — bounded by
+    |query_ids|, the same rows cosine_topk broadcasts.
+
+    ``dim`` is derived from the centroids; passing it is only a
+    cross-check.  Degenerate query vectors (NULL, zero-norm, wrong
+    width) raise — failing fast instead of silently returning an empty
+    or short result; the brute-force equivalence is stated for
+    well-formed queries.
     """
     spark = df.sparkSession
     C = ivf_centroids(df, vec_col, id_col, n_cells, seed)
+    if dim is not None and dim != C.shape[1]:
+        raise ValueError(
+            f"dim={dim} does not match the corpus width {C.shape[1]}"
+        )
+    dim = C.shape[1]
     corpus = ivf_assign(df, vec_col, id_col, C)
     nprobe = min(nprobe, C.shape[0])
 
@@ -472,10 +483,20 @@ def ivf_ann_topk(
     id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
     probe_rows = []
     for r in qrows:
+        if r[1] is None:
+            raise ValueError(f"query {r[0]!r} has a NULL vector")
         v = np.asarray(r[1], dtype=np.float64)
-        nrm = float(np.sqrt((v * v).sum()))
-        if nrm == 0.0 or v.size != dim:
-            continue
+        if v.size != dim:
+            raise ValueError(
+                f"query {r[0]!r} has width {v.size}, corpus width {dim}"
+            )
+        # sequential accumulation — same float order as _seq_sq_norm
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        nrm = float(np.sqrt(acc))
+        if nrm == 0.0:
+            raise ValueError(f"query {r[0]!r} has a zero-norm vector")
         sims = C @ (v / nrm)
         # stable sort: cosine ties resolve to the lower cell id
         for c in np.argsort(-sims, kind="stable")[:nprobe]:

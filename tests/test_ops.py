@@ -1651,7 +1651,9 @@ def test_ivf_partial_probe_recall(spark):
     # IVF-hostile) fixture; floor 0.6 leaves headroom — a regression in
     # cell assignment or probe selection collapses recall, not wiggles it
     assert recall >= 0.6, recall
-    # every query still returns k rows (cells are non-degenerate)
+    # every query is PRESENT and returns k rows (a groupby-only check
+    # would pass with a query silently missing from the output)
+    assert set(approx["query_id"]) == set(qids)
     assert sorted(approx.groupby("query_id").size().unique()) == [5]
 
 
