@@ -36,6 +36,7 @@ from go_tdigest_spark.operators import (
     ann,
     asof,
     dedup,
+    graph,
     multimodal,
     sample,
     tdigest_agg,
@@ -401,6 +402,17 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_dedup(docs, "text", "doc_id", n=2, threshold=0.5)
 
 
+def _q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs -> transitively-closed clusters -> canonical keep flag: the
+    # resolve stage every production dedup pipeline runs after candidate
+    # pairing.  Spark side is iterative min-label propagation; the oracle
+    # is a DuckDB recursive-CTE transitive closure — two independent
+    # evaluation strategies agreeing on the exact labeling.
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_jaccard_dedup(docs, "text", "doc_id", n=2, threshold=0.5)
+    return graph.dedup_clusters(pairs)
+
+
 def _q_dedup_invindex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the classic inverted-index similarity join (exact Jaccard over the
     # df-capped shingle-hash universe) — shuffle key is the shingle hash
@@ -733,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_cluster_canonical": _q_dedup_cluster_canonical,
         "dedup_invindex_jaccard": _q_dedup_invindex_jaccard,
         "dedup_minhash_signatures": _q_minhash_signatures,
         "dedup_minhash_lsh": _q_minhash_lsh_pairs,
@@ -1054,6 +1067,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": dedup.minhash_jaccard_dedup_sql(
             "documents", "text", "doc_id", n=2, threshold=0.5
+        ),
+        "dedup_cluster_canonical": graph.dedup_clusters_sql(
+            dedup.minhash_jaccard_dedup_sql(
+                "documents", "text", "doc_id", n=2, threshold=0.5
+            )
         ),
         "dedup_invindex_jaccard": dedup.ngram_jaccard_pairs_sql(
             "documents", "text", "doc_id", n=2, threshold=0.4, max_doc_freq=0.02

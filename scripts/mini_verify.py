@@ -77,6 +77,13 @@ def main() -> int:
     assert len(erows) > 0
 
     qs = entrymod.queries()
+    only = set(sys.argv[1:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():

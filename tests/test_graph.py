@@ -1,0 +1,102 @@
+"""Connected components / dedup clustering (operators/graph.py).
+
+The contract mirrors the reference's merge-order insensitivity
+(tdigest_test.go TestMerge — results independent of combination order):
+component labels must be a pure function of the edge SET, independent of
+partitioning, edge direction, and edge order.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_tdigest_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = connected_components(df, **kw)
+    return {(r["node"], r["comp"]) for r in out.collect()}
+
+
+def test_chain_converges_to_min(spark):
+    # a 6-node path: diameter 5, worst case for label propagation
+    edges = [(f"d{i}", f"d{i+1}") for i in range(5)]
+    got = _cc(spark, edges)
+    assert got == {(f"d{i}", "d0") for i in range(6)}
+
+
+def test_two_components_and_direction_insensitivity(spark):
+    fwd = [("a", "b"), ("b", "c"), ("x", "y")]
+    rev = [(b, a) for a, b in fwd]
+    assert _cc(spark, fwd) == _cc(spark, rev) == {
+        ("a", "a"),
+        ("b", "a"),
+        ("c", "a"),
+        ("x", "x"),
+        ("y", "x"),
+    }
+
+
+def test_partitioning_insensitivity(spark):
+    edges = [("a", "b"), ("c", "b"), ("d", "c"), ("p", "q"), ("q", "r")]
+    df1 = spark.createDataFrame(edges, ["doc_a", "doc_b"]).repartition(1)
+    df7 = spark.createDataFrame(edges[::-1], ["doc_a", "doc_b"]).repartition(7)
+    r1 = {tuple(r) for r in connected_components(df1).collect()}
+    r7 = {tuple(r) for r in connected_components(df7).collect()}
+    assert r1 == r7
+
+
+def test_null_edges_dropped_and_empty_input(spark):
+    df = spark.createDataFrame(
+        [("a", None), (None, "b"), ("a", "c")], ["doc_a", "doc_b"]
+    )
+    got = {tuple(r) for r in connected_components(df).collect()}
+    assert got == {("a", "a"), ("c", "a")}
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(empty).count() == 0
+
+
+def test_nonconvergence_is_loud(spark):
+    edges = [(f"d{i}", f"d{i+1}") for i in range(6)]  # diameter 6
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iters=2)
+
+
+def test_dedup_clusters_shape(spark):
+    # triangle {a,b,c} + pair {x,y}: sizes, canonical flags, min ids
+    edges = [("b", "a"), ("c", "a"), ("b", "c"), ("y", "x")]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    rows = {
+        (r["doc_id"], r["cluster_id"], r["n_cluster"], r["is_canonical"])
+        for r in dedup_clusters(df).collect()
+    }
+    assert rows == {
+        ("a", "a", 3, True),
+        ("b", "a", 3, False),
+        ("c", "a", 3, False),
+        ("x", "x", 2, True),
+        ("y", "x", 2, False),
+    }
+
+
+def test_plan_no_python_and_single_pass_edges(spark):
+    """The per-round plan stays JVM-side: no BatchEvalPython anywhere in
+    the iterative labeling (the operator is pure Catalyst joins/aggs)."""
+    edges = [("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = connected_components(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_integer_node_ids(spark):
+    edges = [(3, 1), (1, 2), (9, 7)]
+    df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {tuple(r) for r in connected_components(df).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
