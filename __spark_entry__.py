@@ -40,6 +40,7 @@ from go_tdigest_spark.operators import (
     multimodal,
     sample,
     tdigest_agg,
+    terms,
 )
 from go_tdigest_spark.sources import table
 
@@ -402,6 +403,15 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_dedup(docs, "text", "doc_id", n=2, threshold=0.5)
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc salient terms: 3 hash aggs + term-key join + top-k window,
+    # linear-idf scoring for exact cross-engine arithmetic (terms.py)
+    docs = table(spark, sf_dir, "documents")
+    return terms.tfidf_topk_terms(
+        docs, "text", "doc_id", k=3, min_df=2, max_df_ratio=0.79
+    )
+
+
 def _q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs -> transitively-closed clusters -> canonical keep flag: the
     # resolve stage every production dedup pipeline runs after candidate
@@ -740,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers": _q_anti_join_customers,
         "text_stats": _q_text_stats,
         "text_summary": _q_text_summary,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "pipeline_curation": _q_pipeline_curation,
         "pipeline_subsample": _q_pipeline_subsample,
         "dedup_exact_documents": _q_dedup_exact,
@@ -932,6 +943,9 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_quality
             FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
         """,
+        "tfidf_top_terms": terms.tfidf_topk_terms_sql(
+            "documents", "text", "doc_id", k=3, min_df=2, max_df_ratio=0.79
+        ),
         "kll_stats_lineitem": """
             SELECT l_returnflag,
                    count(l_extendedprice) AS n,
