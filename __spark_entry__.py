@@ -39,6 +39,7 @@ from go_tdigest_spark.operators import (
     graph,
     multimodal,
     sample,
+    skew,
     tdigest_agg,
     terms,
 )
@@ -403,6 +404,19 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_dedup(docs, "text", "doc_id", n=2, threshold=0.5)
 
 
+def _q_skew_join_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.user_id is heavy-hitter skewed (see heavy_hitter_users);
+    # the salted join spreads each hot user over 8 reducers and must be
+    # row-identical to the plain join the oracle runs
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    joined = skew.salted_join(ev, dim, ["user_id"], n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_total").alias("sum_user_totals"),
+    )
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc salient terms: 3 hash aggs + term-key join + top-k window,
     # linear-idf scoring for exact cross-engine arithmetic (terms.py)
@@ -751,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_summary": _q_text_summary,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "skew_join_user_totals": _q_skew_join_user_totals,
         "pipeline_curation": _q_pipeline_curation,
         "pipeline_subsample": _q_pipeline_subsample,
         "dedup_exact_documents": _q_dedup_exact,
@@ -942,6 +957,18 @@ def oracle_sql() -> dict[str, str]:
                    round(avg({T.quality_score_frag('text', 'duck')}), 4)
                        AS avg_quality
             FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+        """,
+        "skew_join_user_totals": """
+            WITH ev AS (
+                SELECT * FROM events WHERE user_id IS NOT NULL
+            ), dim AS (
+                SELECT user_id, count(*) AS user_total
+                FROM ev GROUP BY user_id
+            )
+            SELECT e.event_type, count(*) AS n_events,
+                   sum(d.user_total) AS sum_user_totals
+            FROM ev e JOIN dim d USING (user_id)
+            GROUP BY e.event_type
         """,
         "tfidf_top_terms": terms.tfidf_topk_terms_sql(
             "documents", "text", "doc_id", k=3, min_df=2, max_df_ratio=0.79
