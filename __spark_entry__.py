@@ -38,6 +38,7 @@ from go_tdigest_spark.operators import (
     dedup,
     graph,
     multimodal,
+    pack,
     sample,
     skew,
     tdigest_agg,
@@ -681,6 +682,44 @@ def _q_sample_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderstatus", "o_orderkey", "o_totalprice")
 
 
+def _q_sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import sample_split
+
+    # deterministic train/val/test assignment by seeded doc-id hash:
+    # membership is a pure function of the key, so the oracle checks the
+    # exact per-split composition
+    docs = table(spark, sf_dir, "documents")
+    s = sample_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=11
+    )
+    return s.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import pack_chunks
+
+    # concat-and-chunk packing per source at 4096-char capacity, run on
+    # the RANGE (two-phase distributed prefix sum) path — the oracle is
+    # the window form, so the driver pins the scale path's exact
+    # equality with the semantic definition
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    p = pack_chunks(
+        docs, "n_chars", "doc_id", capacity=4096, by=["source"],
+        method="range",
+    )
+    return p.select(
+        "doc_id", "source", "n_chars",
+        "start_pos", "end_pos", "bin_id", "bin_offset", "n_bins",
+    )
+
+
 def _q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join (operators/asof.py): each purchase event picks up the
     # most recent at-or-prior click by the same user — ONE shuffle on
@@ -791,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_present_keys": _q_bloom_present_keys,
         "sample_fraction_docs": _q_sample_fraction_docs,
         "sample_topk_orders": _q_sample_topk_orders,
+        "sample_split_docs": _q_sample_split_docs,
+        "pack_sequences_docs": _q_pack_sequences_docs,
         "asof_purchase_click": _q_asof_purchase_click,
         "range_join_error_blast": _q_range_join_error_blast,
         "multimodal_meta": _q_multimodal_meta,
@@ -1010,6 +1051,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderkey, o_totalprice
             FROM ({sample.sample_topk_per_group_sql(
                 'orders', 'o_orderkey', ['o_orderstatus'], 5, seed=3)})
+        """,
+        "sample_split_docs": f"""
+            SELECT split, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM ({sample.sample_split_sql(
+                'documents', 'doc_id',
+                {'train': 0.8, 'val': 0.1, 'test': 0.1}, seed=11)})
+            GROUP BY split, source
+        """,
+        "pack_sequences_docs": f"""
+            SELECT doc_id, source, n_chars,
+                   start_pos, end_pos, bin_id, bin_offset, n_bins
+            FROM ({pack.pack_chunks_sql(
+                '(SELECT doc_id, source, n_chars FROM documents)',
+                'n_chars', 'doc_id', 4096, by=['source'])})
         """,
         "asof_purchase_click": asof.asof_join_sql(
             "SELECT event_id, ts, user_id, value AS purchase_value "

@@ -232,6 +232,104 @@ def sample_topk_per_group(
     )
 
 
+def _split_cutoffs(weights: dict[str, float]) -> list[tuple[str, int, int]]:
+    """(name, lo, hi) half-open hash ranges in [0, _DENOM)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    out, acc, cum = [], 0, 0.0
+    names = list(weights)
+    for i, name in enumerate(names):
+        cum += weights[name]
+        # cumulative rounding: bucket widths absorb rounding drift and
+        # the last bucket is forced to close the range exactly
+        hi = _DENOM if i == len(names) - 1 else int(round(cum * _DENOM))
+        out.append((name, acc, hi))
+        acc = hi
+    return out
+
+
+def sample_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic named split (train/val/test...): every row gains a
+    ``split_col`` label chosen by which cumulative hash range its seeded
+    key hash lands in.  Pure function of (key, weights, seed): re-runs,
+    retries, different partitionings, and INCREMENTAL data (new rows
+    never move old rows between splits) all agree — the property random
+    splits lack that makes held-out sets leak across pipeline versions.
+
+    Duplicate keys land in the same split (membership follows the key),
+    so doc-keyed corpora never leak a near-identical row from train into
+    test by id.  Map-only plan: one hash kernel pass, one CASE chain.
+    """
+    _check_key_type(df, key_col, "sample_split")
+    if split_col in df.columns:
+        raise ValueError(f"column {split_col!r} already exists")
+    cut = _split_cutoffs(weights)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    key_idx = df.columns.index(key_col)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(split_col, StringType(), False)]
+    )
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vals = [
+                "" if v is None else v
+                for v in pc.cast(
+                    batch.column(key_idx), pa.string()
+                ).to_pylist()
+            ]
+            h = _hash_strings_batch(vals, seed) % _DENOM
+            labels = np.empty(len(h), dtype=object)
+            for name, lo, hi in cut:
+                labels[(h >= lo) & (h < hi)] = name
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(labels, type=pa.string())],
+                names=list(batch.schema.names) + [split_col],
+            )
+
+    return df.mapInArrow(gen, schema)
+
+
+def sample_split_sql(
+    table: str,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 1,
+    split_col: str = "split",
+) -> str:
+    cut = _split_cutoffs(weights)
+    h = sample_hash_frag(key_col, "duck", seed)
+    last = cut[-1][0]
+    if len(cut) == 1:
+        label = f"'{last}'"
+    else:
+        cases = " ".join(
+            f"WHEN _h < {hi} THEN '{name}'" for name, _, hi in cut[:-1]
+        )
+        label = f"CASE {cases} ELSE '{last}' END"
+    return f"""
+        SELECT * EXCLUDE (_h), {label} AS {split_col}
+        FROM (SELECT *, ({h}) % {_DENOM} AS _h FROM {table})
+    """
+
+
 def sample_topk_per_group_sql(
     table: str, key_col: str, by: list[str], k: int, seed: int = 1
 ) -> str:

@@ -1,0 +1,170 @@
+"""Sequence packing (operators/pack.py) and named splits
+(sample_split): determinism, window/range path equality, hand-computed
+assignments."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_tdigest_spark.operators.pack import pack_chunks
+from go_tdigest_spark.operators.sample import sample_split
+
+
+# --------------------------------------------------------------- packing
+
+
+def _corpus(spark, n=100, sources=("a", "b", "c")):
+    rows = [
+        (f"d{i:04d}", sources[i % len(sources)], (i * 37) % 911 + 1)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_hand_computed_single_group(spark):
+    df = spark.createDataFrame(
+        [("d1", 3), ("d2", 5), ("d3", 4)], ["doc_id", "n_tok"]
+    )
+    got = {
+        r["doc_id"]: (
+            r["start_pos"], r["end_pos"], r["bin_id"], r["bin_offset"],
+            r["n_bins"],
+        )
+        for r in pack_chunks(df, "n_tok", "doc_id", capacity=4).collect()
+    }
+    # stream: d1[0..3) d2[3..8) d3[8..12); windows of 4
+    assert got["d1"] == (0, 3, 0, 0, 1)
+    assert got["d2"] == (3, 8, 0, 3, 2)  # straddles windows 0 and 1
+    assert got["d3"] == (8, 12, 2, 0, 1)
+
+
+def test_exact_boundary_doc(spark):
+    # a doc ending exactly on a window boundary spans only its window
+    df = spark.createDataFrame([("d1", 4), ("d2", 4)], ["doc_id", "n_tok"])
+    got = {
+        r["doc_id"]: (r["bin_id"], r["n_bins"])
+        for r in pack_chunks(df, "n_tok", "doc_id", capacity=4).collect()
+    }
+    assert got == {"d1": (0, 1), "d2": (1, 1)}
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 16])
+def test_range_path_equals_window_path(spark, nparts):
+    df = _corpus(spark)
+    w = pack_chunks(df, "n_tok", "doc_id", 512, by=["source"], method="window")
+    r = pack_chunks(
+        df, "n_tok", "doc_id", 512, by=["source"], method="range",
+        num_partitions=nparts,
+    )
+    assert _rows(w) == _rows(r)
+    spark.catalog.clearCache()  # library persist in the range path
+
+
+def test_range_path_carry_across_batches(spark):
+    # force multi-batch partitions so the generator's carry state and
+    # the per-(partition, group) base offsets both engage
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = _corpus(spark, n=200)
+        w = pack_chunks(df, "n_tok", "doc_id", 256, by=["source"])
+        r = pack_chunks(
+            df, "n_tok", "doc_id", 256, by=["source"], method="range",
+            num_partitions=4,
+        )
+        assert _rows(w) == _rows(r)
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.catalog.clearCache()
+
+
+def test_global_stream_no_groups(spark):
+    df = _corpus(spark, n=60)
+    w = pack_chunks(df, "n_tok", "doc_id", 128)
+    r = pack_chunks(df, "n_tok", "doc_id", 128, method="range",
+                    num_partitions=5)
+    assert _rows(w) == _rows(r)
+    total = df.agg(F.sum("n_tok")).collect()[0][0]
+    assert w.agg(F.max("end_pos")).collect()[0][0] == total
+    spark.catalog.clearCache()
+
+
+def test_pack_validation(spark):
+    df = _corpus(spark, n=5)
+    with pytest.raises(ValueError, match="capacity"):
+        pack_chunks(df, "n_tok", "doc_id", 0)
+    with pytest.raises(ValueError, match="method"):
+        pack_chunks(df, "n_tok", "doc_id", 4, method="sorted")
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        pack_chunks(df, "missing", "doc_id", 4)
+    with pytest.raises(ValueError, match="reserved"):
+        pack_chunks(df.withColumn("bin_id", F.lit(1)), "n_tok", "doc_id", 4)
+
+
+def test_nonpositive_size_raises_on_range_path(spark):
+    df = spark.createDataFrame([("d1", 3), ("d2", 0)], ["doc_id", "n_tok"])
+    with pytest.raises(Exception, match="must be positive"):
+        pack_chunks(
+            df, "n_tok", "doc_id", 4, method="range", num_partitions=1
+        ).collect()
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- splits
+
+
+def test_split_partitions_every_row_once(spark):
+    df = _corpus(spark, n=200)
+    s = sample_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert s.count() == 200
+    assert s.where(F.col("split").isNull()).count() == 0
+    names = {r["split"] for r in s.select("split").distinct().collect()}
+    assert names <= {"train", "val", "test"}
+    # seeded hash: ~80/10/10 within loose tolerance on 200 keys
+    n_train = s.where("split = 'train'").count()
+    assert 120 <= n_train <= 195
+
+
+def test_split_deterministic_and_seed_sensitive(spark):
+    df = _corpus(spark, n=100)
+    a1 = _rows(sample_split(df, "doc_id", {"a": 0.5, "b": 0.5}, seed=3))
+    a2 = _rows(
+        sample_split(df.repartition(7), "doc_id", {"a": 0.5, "b": 0.5}, seed=3)
+    )
+    b = _rows(sample_split(df, "doc_id", {"a": 0.5, "b": 0.5}, seed=4))
+    assert a1 == a2
+    assert a1 != b
+
+
+def test_split_duplicate_keys_travel_together(spark):
+    rows = [("k1", i) for i in range(10)] + [("k2", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "v"])
+    s = sample_split(df, "doc_id", {"a": 0.5, "b": 0.5})
+    per_key = (
+        s.groupBy("doc_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_key)
+
+
+def test_split_weights_validation(spark):
+    df = _corpus(spark, n=5)
+    with pytest.raises(ValueError, match="sum to 1"):
+        sample_split(df, "doc_id", {"a": 0.5, "b": 0.3})
+    with pytest.raises(ValueError, match="non-empty"):
+        sample_split(df, "doc_id", {})
+    with pytest.raises(ValueError, match="already exists"):
+        sample_split(
+            df.withColumn("split", F.lit("x")), "doc_id", {"a": 1.0}
+        )
+
+
+def test_split_single_bucket(spark):
+    df = _corpus(spark, n=10)
+    s = sample_split(df, "doc_id", {"all": 1.0})
+    assert s.where("split = 'all'").count() == 10
