@@ -408,6 +408,11 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         "bloom_present_keys",
         "asof_purchase_click",
         "range_join_error_blast",
+        "tfidf_top_terms",
+        "skew_join_user_totals",
+        "sample_split_docs",
+        "pack_sequences_docs",
+        "dedup_cluster_canonical",
     ]
     for name in hot:
         df = qs[name](spark, sf)
