@@ -683,13 +683,11 @@ def _q_sample_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from go_tdigest_spark.operators import sample_split
-
     # deterministic train/val/test assignment by seeded doc-id hash:
     # membership is a pure function of the key, so the oracle checks the
     # exact per-split composition
     docs = table(spark, sf_dir, "documents")
-    s = sample_split(
+    s = sample.sample_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=11
     )
     return s.groupBy("split", "source").agg(
@@ -701,8 +699,6 @@ def _q_sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from go_tdigest_spark.operators import pack_chunks
-
     # concat-and-chunk packing per source at 4096-char capacity, run on
     # the RANGE (two-phase distributed prefix sum) path — the oracle is
     # the window form, so the driver pins the scale path's exact
@@ -710,7 +706,7 @@ def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    p = pack_chunks(
+    p = pack.pack_chunks(
         docs, "n_chars", "doc_id", capacity=4096, by=["source"],
         method="range",
     )

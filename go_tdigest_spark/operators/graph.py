@@ -65,10 +65,12 @@ def connected_components(
     merge order, the same order-insensitivity contract the reference
     pins for digest merges in tdigest_test.go TestMerge).
 
-    Raises ``RuntimeError`` if the labeling has not converged after
-    ``max_iters`` rounds (diameter > max_iters) — a partially-propagated
-    labeling silently splits clusters, which for dedup means keeping
-    duplicates, so non-convergence is loud.
+    Raises ``RuntimeError`` if the labeling has not converged within
+    ``max_iters`` improvement rounds (graph diameter > max_iters) — a
+    partially-propagated labeling silently splits clusters, which for
+    dedup means keeping duplicates, so non-convergence is loud.  (The
+    loop runs max_iters + 1 times: a graph needing exactly max_iters
+    improvement rounds still gets its confirming quiet round.)
     """
     edges_fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
@@ -91,7 +93,7 @@ def connected_components(
         return df.localCheckpoint(eager=True)
 
     labels = _snapshot(labels)
-    for _ in range(max_iters):
+    for _ in range(max_iters + 1):
         nbr = (
             edges.join(
                 labels.select(
@@ -121,8 +123,9 @@ def connected_components(
             return labels
     edges.unpersist()
     raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds "
-        "(graph diameter exceeds max_iters); raise max_iters"
+        f"connected_components did not converge in {max_iters} "
+        "improvement rounds (graph diameter exceeds max_iters); "
+        "raise max_iters"
     )
 
 

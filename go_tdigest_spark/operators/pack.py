@@ -26,10 +26,14 @@ Two physical strategies for the prefix sum, identical output:
   rows — cumulate them on the driver into per-partition base offsets;
   then one Arrow pass adds segment-vectorized within-partition prefixes
   to the broadcast bases.  No single task ever sees more than its
-  partition, whatever the group layout.  (The tiny totals collect is
-  O(partitions x groups-per-partition-boundary) — the same
-  driver-planning trick `embedding_similar_pairs` uses for its block
-  grid, not a data collect.)
+  partition, whatever the group layout.  The totals collect is
+  O(partitions + distinct groups) ROWS, not data rows — a planning
+  collect like `embedding_similar_pairs`' block grid.  That makes the
+  range path the tool for FEW, LARGE groups (the case that serializes
+  the window form); for high-cardinality ``by`` (millions of groups)
+  use ``method="window"``, whose per-group tasks are exactly the
+  parallelism you want there — the two methods are complementary, not
+  interchangeable defaults.
 
 Sizes must be positive (a zero/negative token count is upstream
 corruption); the range path validates per batch, the window path by the
@@ -47,8 +51,16 @@ _RESERVED = ("_pid", "start_pos", "end_pos", "bin_id", "bin_offset", "n_bins")
 
 
 def _finalize(df: DataFrame, size_col: str, capacity: int) -> DataFrame:
+    # runtime size validation on BOTH paths (the range kernel also
+    # checks batch-side): a NULL/non-positive size would silently shift
+    # every later row's start_pos on the window path
+    checked = F.expr(
+        f"CASE WHEN {size_col} IS NULL OR {size_col} <= 0 "
+        f"THEN raise_error('pack_chunks: size_col must be positive') "
+        f"ELSE {size_col} END"
+    )
     return (
-        df.withColumn("end_pos", F.col("start_pos") + F.col(size_col))
+        df.withColumn("end_pos", F.col("start_pos") + checked)
         .withColumn("bin_id", F.expr(f"start_pos div {capacity}"))
         .withColumn("bin_offset", F.col("start_pos") % capacity)
         .withColumn(
@@ -70,8 +82,12 @@ def pack_chunks(
 ) -> DataFrame:
     """Concat-and-chunk packing assignment.  Adds ``start_pos, end_pos,
     bin_id, bin_offset, n_bins`` to ``df``; the doc order inside each group
-    is ``key_col`` ascending (deterministic — same contract as the
-    sampling operators), groups are ``by`` (empty = one global stream).
+    is ``key_col`` ascending, groups are ``by`` (empty = one global
+    stream).  ``key_col`` must be UNIQUE within its group (an id
+    column): rows tying on (group, key) have no defined order, so their
+    start positions would depend on partitioning — the same uniqueness
+    contract as ``sample_topk_per_group``, not validated for the same
+    cost reason.
     """
     by = list(by or [])
     if capacity < 1:
@@ -84,6 +100,20 @@ def pack_chunks(
     for c in [size_col, key_col, *by]:
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in DataFrame")
+    # key and group columns restricted to integral/string (the same
+    # contract as the sampling operators): other types (date, binary,
+    # float) don't round-trip identically between collected Row values
+    # and Arrow-side numpy values, which would silently break the range
+    # path's base-offset dictionary keyed on group values
+    from .sample import _check_key_type
+
+    for c in [key_col, *by]:
+        _check_key_type(df, c, "pack_chunks")
+    size_dt = df.schema[size_col].dataType.simpleString()
+    if size_dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"pack_chunks: size_col must be integral, got {size_dt}"
+        )
 
     if method == "window":
         w = (
@@ -156,6 +186,16 @@ def pack_chunks(
                     batch.column(i).to_numpy(zero_copy_only=False)
                     for i in by_idx
                 ]
+                for c in cols:
+                    # an integral group column with NULLs arrives as
+                    # float64/NaN: NaN != NaN fragments segments and
+                    # misses every dict key — corrupt silently, so fail
+                    if c.dtype.kind == "f":
+                        raise ValueError(
+                            "pack_chunks: integral group columns must "
+                            "not contain NULLs (use a string column or "
+                            "filter/fill first)"
+                        )
                 change = np.zeros(len(sizes), dtype=bool)
                 for c in cols:
                     change[1:] |= c[1:] != c[:-1]

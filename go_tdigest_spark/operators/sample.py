@@ -274,6 +274,11 @@ def sample_split(
     _check_key_type(df, key_col, "sample_split")
     if split_col in df.columns:
         raise ValueError(f"column {split_col!r} already exists")
+    if "_split_h" in df.columns:
+        # the SQL twin uses _split_h as its internal hash alias; the
+        # Spark path reserves it too so both engines accept the same
+        # inputs
+        raise ValueError("input column _split_h collides with a reserved name")
     cut = _split_cutoffs(weights)
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -321,12 +326,12 @@ def sample_split_sql(
         label = f"'{last}'"
     else:
         cases = " ".join(
-            f"WHEN _h < {hi} THEN '{name}'" for name, _, hi in cut[:-1]
+            f"WHEN _split_h < {hi} THEN '{name}'" for name, _, hi in cut[:-1]
         )
         label = f"CASE {cases} ELSE '{last}' END"
     return f"""
-        SELECT * EXCLUDE (_h), {label} AS {split_col}
-        FROM (SELECT *, ({h}) % {_DENOM} AS _h FROM {table})
+        SELECT * EXCLUDE (_split_h), {label} AS {split_col}
+        FROM (SELECT *, ({h}) % {_DENOM} AS _split_h FROM {table})
     """
 
 

@@ -35,6 +35,19 @@ __all__ = ["salted_join"]
 _SALT = "__salt"
 
 
+def _hashable(dt) -> bool:
+    """xxhash64 accepts everything except MapType (at any nesting)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -60,9 +73,15 @@ def salted_join(
     # whole-row hash: deterministic (re-evaluation safe under task retry,
     # unlike rand()/monotonically_increasing_id), and any assignment is
     # correct — identical rows sharing a salt only weakens spreading for
-    # exact-duplicate floods, which exact dedup removes upstream anyway
+    # exact-duplicate floods, which exact dedup removes upstream anyway.
+    # Restricted to hashable columns: xxhash64 rejects MapType (and any
+    # nesting of it), and the join keys are always hashable, so the salt
+    # source is never empty.
+    salt_cols = [
+        f.name for f in fact.schema.fields if _hashable(f.dataType)
+    ]
     salted_fact = fact.withColumn(
-        _SALT, F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+        _SALT, F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
     )
     replicated_dim = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -71,6 +71,12 @@ def tfidf_topk_terms(
         raise ValueError("k must be >= 1")
     if min_df < 1:
         raise ValueError("min_df must be >= 1")
+    # NULL-id rows are dropped on BOTH engines: keeping them would let
+    # the NULL doc contribute to df while count(DISTINCT) excludes it
+    # from N — an inconsistent corpus definition and a cross-engine
+    # divergence (SQL count(DISTINCT) skips NULL, a Spark
+    # distinct().count() would not)
+    df = df.where(F.col(id_col).isNotNull())
     if n_docs is None:
         n_docs = df.select(id_col).distinct().count()
     words = df.select(
@@ -125,6 +131,7 @@ def tfidf_topk_terms_sql(
     return f"""
         WITH words AS (
             SELECT {id_col} AS doc_id, unnest({w}) AS term FROM {table}
+            WHERE {id_col} IS NOT NULL
         ), tf AS (
             SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
         ), n AS (

@@ -100,3 +100,12 @@ def test_integer_node_ids(spark):
     df = spark.createDataFrame(edges, "doc_a int, doc_b int")
     got = {tuple(r) for r in connected_components(df).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_exactly_max_iters_diameter_converges(spark):
+    # needs exactly max_iters improvement rounds: the confirming quiet
+    # round must not count against the budget (review fix)
+    edges = [(f"d{i}", f"d{i+1}") for i in range(5)]  # diameter 5
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {tuple(r) for r in connected_components(df, max_iters=5).collect()}
+    assert got == {(f"d{i}", "d0") for i in range(6)}

@@ -168,3 +168,43 @@ def test_split_single_bucket(spark):
     df = _corpus(spark, n=10)
     s = sample_split(df, "doc_id", {"all": 1.0})
     assert s.where("split = 'all'").count() == 10
+
+
+def test_pack_rejects_unsafe_column_types(spark):
+    # review fix: date/float group or key columns don't round-trip
+    # identically between Row values and Arrow numpy values
+    df = spark.createDataFrame(
+        [("d1", "2020-01-01", 3.5, 4)],
+        "doc_id string, day string, fsize double, n_tok int",
+    ).withColumn("day_d", F.to_date("day"))
+    with pytest.raises(TypeError, match="integral or string"):
+        pack_chunks(df, "n_tok", "doc_id", 4, by=["day_d"])
+    with pytest.raises(TypeError, match="size_col must be integral"):
+        pack_chunks(df, "fsize", "doc_id", 4)
+
+
+def test_pack_null_int_group_raises_on_range_path(spark):
+    df = spark.createDataFrame(
+        [("d1", 1, 3), ("d2", None, 5)], "doc_id string, grp int, n_tok int"
+    )
+    with pytest.raises(Exception, match="must not contain NULLs"):
+        pack_chunks(
+            df, "n_tok", "doc_id", 4, by=["grp"], method="range",
+            num_partitions=1,
+        ).collect()
+    spark.catalog.clearCache()
+
+
+def test_pack_window_path_rejects_null_size(spark):
+    # review fix: the window path now validates sizes too (assert_true)
+    df = spark.createDataFrame(
+        [("d1", 3), ("d2", None)], "doc_id string, n_tok int"
+    )
+    with pytest.raises(Exception, match="must be positive"):
+        pack_chunks(df, "n_tok", "doc_id", 4).collect()
+
+
+def test_split_reserved_internal_name(spark):
+    df = _corpus(spark, n=3).withColumn("_split_h", F.lit(1))
+    with pytest.raises(ValueError, match="_split_h"):
+        sample_split(df, "doc_id", {"a": 1.0})

@@ -69,3 +69,17 @@ def test_plan_joins_on_key_plus_salt(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan  # join condition carries the salt
     assert "BatchEvalPython" not in plan
+
+
+def test_map_column_fact_does_not_crash(spark):
+    # xxhash64 rejects MapType; the salt must skip unhashable columns
+    # instead of failing the whole join (review fix)
+    fact = spark.createDataFrame(
+        [("hot", {"a": 1}), ("cold", {"b": 2})], "k string, props map<string,int>"
+    )
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "label"])
+    got = salted_join(fact, dim, ["k"], n_salts=4)
+    want = fact.join(dim, ["k"], "inner")
+    assert sorted((r["k"], r["label"]) for r in got.collect()) == sorted(
+        (r["k"], r["label"]) for r in want.collect()
+    )

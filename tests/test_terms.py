@@ -82,3 +82,19 @@ def test_plan_stays_jvm_side(spark):
     out = tfidf_topk_terms(df, "text", "doc_id", k=2, min_df=1, n_docs=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_doc_id_dropped(spark):
+    df = spark.createDataFrame(
+        CORPUS + [(None, "apple apple")], ["doc_id", "text"]
+    )
+    # the NULL doc must neither appear in output nor inflate N/df:
+    # results identical to the corpus without it (review fix)
+    with_null = _run_df(spark, df)
+    without = _run_df(spark, spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+    assert with_null == without
+
+
+def _run_df(spark, df):
+    out = tfidf_topk_terms(df, "text", "doc_id", k=3, min_df=1)
+    return sorted(tuple(r) for r in out.collect())
