@@ -395,6 +395,64 @@ def _q_pipeline_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_td_bucket_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate decile bucketing by sketch boundaries (no global
+    # sort).  Boundaries are approximate -> rows-only here; the bucket
+    # population bound (each decile within rank error of n/10) is
+    # pinned in tests/test_spark_agg.py, and ntile_price_deciles below
+    # is the exact-ntile twin of the same shape
+    from go_tdigest_spark.operators import tdigest_bucket
+
+    li = table(spark, sf_dir, "lineitem")
+    b = tdigest_bucket(li, "l_extendedprice", 10, by=["l_returnflag"])
+    return b.groupBy("l_returnflag", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
+def _q_ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact decile twin: NTILE over a tie-broken total order — the
+    # semantics tdigest_bucket approximates, checkable hash-exact
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    t = li.withColumn("decile", F.ntile(10).over(w))
+    return t.groupBy("l_returnflag", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+
+
+def _q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining data flow in one composition, every stage
+    exact: keep-first exact dedup -> deterministic train/val/test split
+    -> per-(split, source) concat-and-chunk packing -> window
+    accounting (docs, chars, windows used, boundary straddlers)."""
+    docs = table(spark, sf_dir, "documents")
+    kept = dedup.dedup_exact_keep_first(docs, "text", "doc_id")
+    s = sample.sample_split(
+        kept.select("doc_id", "source", "n_chars"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=5,
+    )
+    p = pack.pack_chunks(
+        s, "n_chars", "doc_id", capacity=2048, by=["split", "source"]
+    )
+    return p.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr("(max(end_pos) - 1) div 2048 + 1").alias("n_windows"),
+        F.sum((F.col("n_bins") > 1).cast("int")).alias("n_straddlers"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.dedup_exact_stats(docs, "text", ["source"])
@@ -803,6 +861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_user_totals": _q_skew_join_user_totals,
         "pipeline_curation": _q_pipeline_curation,
         "pipeline_subsample": _q_pipeline_subsample,
+        "pipeline_pretrain": _q_pipeline_pretrain,
+        "td_bucket_lineitem": _q_td_bucket_lineitem,
+        "ntile_price_deciles": _q_ntile_price_deciles,
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -1144,6 +1205,43 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT text) AS n_distinct,
                    count(*) - count(DISTINCT text) AS n_dup_docs
             FROM documents GROUP BY source
+        """,
+        "ntile_price_deciles": """
+            SELECT l_returnflag, decile, count(*) AS n,
+                   min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+            FROM (
+                SELECT l_returnflag, l_extendedprice,
+                       ntile(10) OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, l_orderkey,
+                                    l_linenumber
+                       ) AS decile
+                FROM lineitem
+            ) GROUP BY l_returnflag, decile
+        """,
+        "pipeline_pretrain": f"""
+            WITH kept AS (
+                SELECT d.doc_id, d.source, d.n_chars
+                FROM documents d
+                JOIN (
+                    SELECT text, min(doc_id) AS keep_id
+                    FROM documents GROUP BY text
+                ) k ON d.text = k.text AND d.doc_id = k.keep_id
+            ), split_t AS (
+                {sample.sample_split_sql(
+                    'kept', 'doc_id',
+                    {'train': 0.8, 'val': 0.1, 'test': 0.1}, seed=5)}
+            ), packed AS (
+                {pack.pack_chunks_sql(
+                    '(SELECT doc_id, source, split, n_chars FROM split_t)',
+                    'n_chars', 'doc_id', 2048, by=['split', 'source'])}
+            )
+            SELECT split, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   (max(end_pos) - 1) // 2048 + 1 AS n_windows,
+                   CAST(sum(CASE WHEN n_bins > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_straddlers
+            FROM packed GROUP BY split, source
         """,
         "dedup_keep_first": """
             WITH kept AS (

@@ -3,6 +3,7 @@ from .pipeline_stream import (
     read_stream_lsh_pairs,
     streaming_exact_dedup,
     streaming_sample_fraction,
+    streaming_sample_split,
 )
 from .sketch_stream import read_stream_sketches, sketch_stream_writer
 from .stream_agg import (
@@ -22,6 +23,7 @@ __all__ = [
     "sketch_stream_writer",
     "streaming_exact_dedup",
     "streaming_sample_fraction",
+    "streaming_sample_split",
     "tdigest_stateful_stream",
     "tdigest_stream_writer",
     "tdigest_windowed_stream_writer",

@@ -91,6 +91,27 @@ def streaming_sample_fraction(
     return sample_fraction(stream_df, key_col, fraction, seed)
 
 
+def streaming_sample_split(
+    stream_df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic named split (train/val/test...) of a stream.
+
+    Delegates to the batch operator unchanged — split membership is a
+    pure per-row function of the seeded key hash, so the operator is
+    stateless and every row lands in the same split whether it arrives
+    via backfill or live triggers.  New data never moves old rows
+    between splits, which is precisely the held-out-set stability
+    guarantee a streaming ingest needs.
+    """
+    from ..operators.sample import sample_split
+
+    return sample_split(stream_df, key_col, weights, seed, split_col)
+
+
 def minhash_signature_stream_writer(
     stream_df: DataFrame,
     text_col: str,

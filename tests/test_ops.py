@@ -1280,6 +1280,48 @@ def test_streaming_sample_matches_batch(spark, tmp_path):
     assert got == expect and 0 < len(got) < docs.count()
 
 
+def test_streaming_split_matches_batch(spark, tmp_path):
+    from go_tdigest_spark.operators import sample_split
+    from go_tdigest_spark.streaming import streaming_sample_split
+
+    src = str(tmp_path / "split_src")
+    ckpt = str(tmp_path / "split_ckpt")
+    docs = table(spark, SF_TINY, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(src)
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        streaming_sample_split(stream, "doc_id", weights, seed=9)
+        .writeStream.format("memory")
+        .queryName("split_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["split"])
+        for r in spark.sql(
+            "SELECT doc_id, split FROM split_stream"
+        ).collect()
+    }
+    expect = {
+        (r["doc_id"], r["split"])
+        for r in sample_split(docs, "doc_id", weights, seed=9)
+        .select("doc_id", "split")
+        .collect()
+    }
+    # stateless: every row lands in the same split whether it arrived
+    # by stream trigger or batch backfill
+    assert got == expect and len({s for _, s in got}) == 3
+
+
 def test_streaming_minhash_lsh(spark, tmp_path, docs):
     from go_tdigest_spark.streaming import (
         minhash_signature_stream_writer,

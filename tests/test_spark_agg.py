@@ -558,3 +558,60 @@ def test_rollup_finest_groups_hint_skips_sizing_action(spark):
     a = a.fillna("~").sort_values(key).reset_index(drop=True)
     b = b.fillna("~").sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_tdigest_bucket_semantics_and_population(spark):
+    """Approximate decile bucketing: buckets are defined by GLOBAL
+    cutpoints (so value ranges never overlap across buckets), every
+    bucket's population is within t-digest rank error of n/10, and NULL
+    values get NULL bucket."""
+    from go_tdigest_spark.operators import tdigest_bucket
+
+    li = table(spark, SF_TINY, "lineitem").select("l_extendedprice")
+    b = tdigest_bucket(li, "l_extendedprice", 10).cache()
+    n = li.count()
+    stats = {
+        r["bucket"]: (r["cnt"], r["lo"], r["hi"])
+        for r in b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(stats) == set(range(10))
+    # population: boundary rank error <= 0.015 each side (the reference
+    # merge-suite bound) -> each decile in [0.07, 0.13] x n
+    for cnt, _, _ in stats.values():
+        assert 0.07 * n <= cnt <= 0.13 * n
+    # global cutpoints: bucket ranges are disjoint and ordered
+    for i in range(9):
+        assert stats[i][2] <= stats[i + 1][1]
+    b.unpersist()
+
+    # NULL value -> NULL bucket; n_buckets=1 -> everything in bucket 0
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+    got = {
+        r["v"]: r["bucket"]
+        for r in tdigest_bucket(df, "v", 1).collect()
+    }
+    assert got[1.0] == 0 and got[2.0] == 0 and got[None] is None
+
+
+def test_tdigest_bucket_grouped(spark):
+    """Per-group boundaries: a group whose values all sit below another
+    group's still spreads across its own buckets."""
+    from go_tdigest_spark.operators import tdigest_bucket
+
+    rows = [("lo", float(i)) for i in range(100)] + [
+        ("hi", 1000.0 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    b = tdigest_bucket(df, "v", 4, by=["g"])
+    per_group = (
+        b.groupBy("g").agg(F.countDistinct("bucket").alias("nb")).collect()
+    )
+    assert all(r["nb"] == 4 for r in per_group)
+    with pytest.raises(ValueError, match="n_buckets"):
+        tdigest_bucket(df, "v", 0)
