@@ -756,6 +756,23 @@ def _q_sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-mixture reweighting: per-source sampling rates, decided by
+    # the same seeded content hash as the other sampling operators, so
+    # the oracle checks the exact kept set per source
+    docs = table(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+    s = sample.sample_mixture(
+        docs, "doc_id", "source", rates, seed=13, default_fraction=0.1
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat-and-chunk packing per source at 4096-char capacity, run on
     # the RANGE (two-phase distributed prefix sum) path — the oracle is
@@ -888,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction_docs": _q_sample_fraction_docs,
         "sample_topk_orders": _q_sample_topk_orders,
         "sample_split_docs": _q_sample_split_docs,
+        "sample_mixture_docs": _q_sample_mixture_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
         "asof_purchase_click": _q_asof_purchase_click,
         "range_join_error_blast": _q_range_join_error_blast,
@@ -1117,6 +1135,16 @@ def oracle_sql() -> dict[str, str]:
                 'documents', 'doc_id',
                 {'train': 0.8, 'val': 0.1, 'test': 0.1}, seed=11)})
             GROUP BY split, source
+        """,
+        "sample_mixture_docs": f"""
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM ({sample.sample_mixture_sql(
+                'documents', 'doc_id', 'source',
+                {'src0': 1.0, 'src1': 0.75, 'src2': 0.5, 'src3': 0.25},
+                seed=13, default_fraction=0.1)})
+            GROUP BY source
         """,
         "pack_sequences_docs": f"""
             SELECT doc_id, source, n_chars,

@@ -232,6 +232,94 @@ def sample_topk_per_group(
     )
 
 
+def sample_mixture(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict,
+    seed: int = 1,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling rates — the data-mixture
+    reweighting step of a training pipeline (downsample a dominant
+    source to X%, keep a scarce one whole).  Each row keeps or drops by
+    the seeded content hash of its key against ITS GROUP's cutoff;
+    groups not in ``fractions`` use ``default_fraction`` (0.0 = drop,
+    the safe default for an explicit mixture spec).
+
+    Same guarantees as ``sample_fraction``: membership is a pure
+    function of (key, group fraction, seed) — reproducible across
+    partitionings/retries, duplicate keys travel together, and the
+    DuckDB twin replicates the decision bit-for-bit.  Map-only plan.
+    """
+    _check_key_type(df, key_col, "sample_mixture")
+    _check_key_type(df, group_col, "sample_mixture (group)")
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for group {g!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cut = {g: int(round(f * _DENOM)) for g, f in fractions.items()}
+    default_cut = int(round(default_fraction * _DENOM))
+    key_idx = df.columns.index(key_col)
+    grp_idx = df.columns.index(group_col)
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vals = [
+                "" if v is None else v
+                for v in pc.cast(
+                    batch.column(key_idx), pa.string()
+                ).to_pylist()
+            ]
+            h = _hash_strings_batch(vals, seed) % _DENOM
+            groups = batch.column(grp_idx).to_pylist()
+            cuts = np.fromiter(
+                (cut.get(g, default_cut) for g in groups),
+                dtype=np.int64,
+                count=len(groups),
+            )
+            yield batch.filter(pa.array(h < cuts))
+
+    return df.mapInArrow(gen, df.schema)
+
+
+def sample_mixture_sql(
+    table: str,
+    key_col: str,
+    group_col: str,
+    fractions: dict,
+    seed: int = 1,
+    default_fraction: float = 0.0,
+) -> str:
+    h = sample_hash_frag(key_col, "duck", seed)
+    default_cut = int(round(default_fraction * _DENOM))
+    if fractions:
+        whens = " ".join(
+            f"WHEN {group_col} = {_sql_lit(g)} "
+            f"THEN {int(round(f * _DENOM))}"
+            for g, f in fractions.items()
+        )
+        cut = f"CASE {whens} ELSE {default_cut} END"
+    else:
+        cut = str(default_cut)
+    return f"SELECT * FROM {table} WHERE ({h}) % {_DENOM} < ({cut})"
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        escaped = v.replace("'", "''")
+        return f"'{escaped}'"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    raise TypeError(f"mixture group literal must be str or int, got {type(v)}")
+
+
 def _split_cutoffs(weights: dict[str, float]) -> list[tuple[str, int, int]]:
     """(name, lo, hi) half-open hash ranges in [0, _DENOM)."""
     if not weights:

@@ -1,3 +1,11 @@
+from .bucketed import bucketed_table, write_bucketed
 from .tables import TABLE_NAMES, load_tables, read_table, table
 
-__all__ = ["TABLE_NAMES", "load_tables", "read_table", "table"]
+__all__ = [
+    "TABLE_NAMES",
+    "bucketed_table",
+    "load_tables",
+    "read_table",
+    "table",
+    "write_bucketed",
+]

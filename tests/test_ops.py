@@ -1713,3 +1713,43 @@ def test_ivf_assign_covers_corpus(spark):
     assert len(pdf) == emb.count()  # fixture has no zero vectors
     assert pdf["cell"].between(0, 7).all()
     assert pdf["cell"].nunique() > 1  # sampled quantizer actually splits
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed identically on the join key
+    join with NO Exchange on either side — the amortize-the-shuffle
+    primitive for repeated fact-fact joins at scale."""
+    from go_tdigest_spark.sources import write_bucketed
+
+    orders = table(spark, SF_TINY, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = table(spark, SF_TINY, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    t1 = write_bucketed(
+        orders, "bk_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "bk_orders"),
+    )
+    t2 = write_bucketed(
+        li, "bk_lineitem", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "bk_lineitem"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = t1.join(t2, t1["o_orderkey"] == t2["l_orderkey"]).select(
+            "o_orderkey", "l_extendedprice"
+        )
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        # and the result is the plain join's
+        want = orders.join(
+            li, orders["o_orderkey"] == li["l_orderkey"]
+        ).count()
+        assert n == want and n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")

@@ -208,3 +208,53 @@ def test_split_reserved_internal_name(spark):
     df = _corpus(spark, n=3).withColumn("_split_h", F.lit(1))
     with pytest.raises(ValueError, match="_split_h"):
         sample_split(df, "doc_id", {"a": 1.0})
+
+
+# --------------------------------------------------------------- mixture
+
+
+def test_mixture_rates_and_union_property(spark):
+    from go_tdigest_spark.operators.sample import sample_fraction, sample_mixture
+
+    df = _corpus(spark, n=300)  # sources a, b, c round-robin
+    rates = {"a": 1.0, "b": 0.4}
+    s = sample_mixture(df, "doc_id", "source", rates, seed=5)
+    per = {r["source"]: r["n"] for r in
+           s.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per["a"] == 100              # rate 1.0 keeps everything
+    assert "c" not in per               # default_fraction 0 drops
+    assert 15 <= per.get("b", 0) <= 65  # ~40 of 100, loose hash bound
+    # per-group mixture == per-group sample_fraction of that group
+    only_b = df.where("source = 'b'")
+    want_b = {r["doc_id"] for r in
+              sample_fraction(only_b, "doc_id", 0.4, seed=5).collect()}
+    got_b = {r["doc_id"] for r in s.where("source = 'b'").collect()}
+    assert got_b == want_b
+
+
+def test_mixture_null_group_uses_default(spark):
+    from go_tdigest_spark.operators.sample import sample_mixture
+
+    df = spark.createDataFrame(
+        [("d1", None), ("d2", "a")], "doc_id string, source string"
+    )
+    kept = sample_mixture(
+        df, "doc_id", "source", {"a": 1.0}, default_fraction=1.0
+    )
+    assert kept.count() == 2
+    dropped = sample_mixture(df, "doc_id", "source", {"a": 1.0})
+    assert {r["doc_id"] for r in dropped.collect()} == {"d2"}
+
+
+def test_mixture_validation(spark):
+    from go_tdigest_spark.operators.sample import sample_mixture
+
+    df = _corpus(spark, n=5)
+    with pytest.raises(ValueError, match="must be in"):
+        sample_mixture(df, "doc_id", "source", {"a": 1.5})
+    with pytest.raises(ValueError, match="default_fraction"):
+        sample_mixture(df, "doc_id", "source", {}, default_fraction=-0.1)
+    with pytest.raises(TypeError, match="integral or string"):
+        sample_mixture(
+            df.withColumn("f", F.lit(1.5)), "doc_id", "f", {}
+        )
