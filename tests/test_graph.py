@@ -109,3 +109,46 @@ def test_exactly_max_iters_diameter_converges(spark):
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {tuple(r) for r in connected_components(df, max_iters=5).collect()}
     assert got == {(f"d{i}", "d0") for i in range(6)}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_graph_matches_union_find(spark, seed):
+    """Randomized cross-check against an independent pure-Python
+    union-find: component labels (min member id) must agree exactly."""
+    import random
+
+    rng = random.Random(seed)
+    n = 40
+    edges = list(
+        {
+            (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+            for _ in range(45)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_members: dict[str, list[str]] = {}
+    for v in parent:
+        comp_members.setdefault(find(v), []).append(v)
+    want = {
+        v: min(members)
+        for members in comp_members.values()
+        for v in members
+    }
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == want

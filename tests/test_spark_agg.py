@@ -413,6 +413,10 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         "sample_split_docs",
         "pack_sequences_docs",
         "dedup_cluster_canonical",
+        "sample_mixture_docs",
+        "pipeline_pretrain",
+        "ntile_price_deciles",
+        "td_bucket_lineitem",
     ]
     for name in hot:
         df = qs[name](spark, sf)
