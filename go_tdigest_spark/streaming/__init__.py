@@ -5,6 +5,9 @@ from .pipeline_stream import (
     streaming_sample_fraction,
     streaming_sample_split,
 )
+from .joins import (
+    streaming_interval_join,
+)
 from .sketch_stream import read_stream_sketches, sketch_stream_writer
 from .stream_agg import (
     read_stream_digests,
@@ -22,6 +25,7 @@ __all__ = [
     "read_windowed_digests",
     "sketch_stream_writer",
     "streaming_exact_dedup",
+    "streaming_interval_join",
     "streaming_sample_fraction",
     "streaming_sample_split",
     "tdigest_stateful_stream",

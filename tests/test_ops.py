@@ -1753,3 +1753,103 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: cumulative output over all triggers
+    equals the batch interval_join on the same data (inclusive bounds),
+    with matches spanning trigger boundaries."""
+    import datetime as dt
+
+    from go_tdigest_spark.operators.asof import interval_join
+    from go_tdigest_spark.streaming import streaming_interval_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    pts = [
+        ("u1", s(1), 10.0), ("u1", s(4), 11.0), ("u1", s(9), 12.0),
+        ("u2", s(2), 20.0), ("u2", s(30), 21.0), ("u3", s(5), 30.0),
+    ]
+    ivs = [
+        ("u1", "w1", s(0), s(5)),    # catches minutes 1 and 4, 5 incl.
+        ("u1", "w2", s(4), s(9)),    # catches 4 (boundary) and 9
+        ("u2", "w3", s(0), s(3)),    # catches 2
+        ("u4", "w4", s(0), s(9)),    # no points for u4
+    ]
+    psrc, isrc = str(tmp_path / "pts"), str(tmp_path / "ivs")
+    ckpt = str(tmp_path / "ij_ckpt")
+    pdf = spark.createDataFrame(pts, "user_id string, ts timestamp, v double")
+    idf = spark.createDataFrame(
+        ivs, "user_id string, win string, start timestamp, end timestamp"
+    )
+    # two files per side -> matches span trigger boundaries
+    pdf.where("v <= 11.0").coalesce(1).write.mode("append").parquet(psrc)
+    pdf.where("v > 11.0").coalesce(1).write.mode("append").parquet(psrc)
+    idf.coalesce(1).write.mode("overwrite").parquet(isrc)
+
+    pstream = (
+        spark.readStream.schema("user_id string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1).parquet(psrc)
+    )
+    istream = spark.readStream.schema(
+        "user_id string, win string, start timestamp, end timestamp"
+    ).parquet(isrc)
+    q = (
+        streaming_interval_join(
+            pstream, istream, "ts", "start", "end", ["user_id"],
+            max_interval="10 minutes",
+        )
+        .writeStream.format("memory").queryName("ij_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["win"], r["v"])
+        for r in spark.sql("SELECT user_id, win, v FROM ij_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["win"], r["v"])
+        for r in interval_join(
+            pdf, idf, "ts", "start", "end", ["user_id"],
+            bucket="10 minutes",
+        ).collect()
+    }
+    assert got == want
+    assert ("u1", "w1", 11.0) in got and ("u1", "w2", 11.0) in got
+
+
+def test_streaming_interval_join_overlong_interval_is_loud(spark, tmp_path):
+    import datetime as dt
+
+    from go_tdigest_spark.streaming import streaming_interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    psrc, isrc = str(tmp_path / "p2"), str(tmp_path / "i2")
+    ckpt = str(tmp_path / "ij2_ckpt")
+    spark.createDataFrame(
+        [("u1", base, 1.0)], "user_id string, ts timestamp, v double"
+    ).write.parquet(psrc)
+    spark.createDataFrame(
+        [("u1", "w", base, base + dt.timedelta(hours=2))],
+        "user_id string, win string, start timestamp, end timestamp",
+    ).write.parquet(isrc)
+    pstream = spark.readStream.schema(
+        "user_id string, ts timestamp, v double"
+    ).parquet(psrc)
+    istream = spark.readStream.schema(
+        "user_id string, win string, start timestamp, end timestamp"
+    ).parquet(isrc)
+    q = (
+        streaming_interval_join(
+            pstream, istream, "ts", "start", "end", ["user_id"],
+            max_interval="10 minutes",
+        )
+        .writeStream.format("memory").queryName("ij2_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="longer than max_interval"):
+        q.awaitTermination(120)
