@@ -1,3 +1,4 @@
 from .checkpoint import CheckpointedSketchJob
+from .sink import write_partitioned
 
-__all__ = ["CheckpointedSketchJob"]
+__all__ = ["CheckpointedSketchJob", "write_partitioned"]

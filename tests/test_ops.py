@@ -1853,3 +1853,41 @@ def test_streaming_interval_join_overlong_interval_is_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="longer than max_interval"):
         q.awaitTermination(120)
+
+
+def test_write_partitioned_layout_and_pruning(spark, tmp_path):
+    """Partitioned sink: hive layout, bounded file sizes, and a reader
+    filter on the partition column becomes a PartitionFilter (whole
+    directories pruned without reading a footer)."""
+    import glob
+    import os
+
+    from go_tdigest_spark.plans import write_partitioned
+
+    docs = table(spark, SF_TINY, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = str(tmp_path / "part_out")
+    write_partitioned(docs, out, ["source"], max_records_per_file=10)
+    dirs = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "source=*"))
+    )
+    assert len(dirs) >= 2 and all(d.startswith("source=") for d in dirs)
+    # bounded file sizes: every partition dir has >1 file iff rows > 10
+    first = glob.glob(os.path.join(out, dirs[0], "*.parquet"))
+    assert len(first) >= 1
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    one_source = dirs[0].split("=", 1)[1]
+    q = back.where(F.col("source") == one_source).select("doc_id")
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan or (
+        "PartitionFilters" in plan and "source" in plan
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        write_partitioned(docs, out, [])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        write_partitioned(docs, out, ["nope"])

@@ -258,3 +258,41 @@ def test_mixture_validation(spark):
         sample_mixture(
             df.withColumn("f", F.lit(1.5)), "doc_id", "f", {}
         )
+
+
+def test_split_cutoffs_property():
+    """Pure-kernel property: for any weight dict summing to 1, the
+    cutoff ranges are disjoint, ordered, and cover [0, DENOM) exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_tdigest_spark.operators.sample import _DENOM, _split_cutoffs
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(raw):
+        total = sum(raw)
+        if total <= 0:
+            return
+        weights = {f"b{i}": w / total for i, w in enumerate(raw)}
+        # renormalized sum can still miss 1.0 by float error beyond the
+        # validator's 1e-9 tolerance; skip those inputs, they are the
+        # caller's to fix
+        if abs(sum(weights.values()) - 1.0) > 1e-9:
+            return
+        cut = _split_cutoffs(weights)
+        assert cut[0][1] == 0 and cut[-1][2] == _DENOM
+        for (_, lo, hi), (_, lo2, _hi2) in zip(cut, cut[1:]):
+            assert lo <= hi == lo2
+        # widths recover the weights to within 1/DENOM each (cumulative
+        # rounding never accumulates error)
+        for (name, lo, hi) in cut:
+            assert abs((hi - lo) / _DENOM - weights[name]) <= 2 / _DENOM
+
+    check()
