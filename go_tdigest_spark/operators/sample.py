@@ -106,6 +106,22 @@ def _hash_strings_batch(vals: list[str], seed: int) -> np.ndarray:
     )
 
 
+def _batch_key_hashes(batch, key_idx: int, seed: int) -> np.ndarray:
+    """The ONE stringify-then-hash contract every sampling operator
+    shares (C-level stringify: int64 -> "123", identical to the SQL CAST
+    for the enforced integral/string key types; NULL -> '').  A behavior
+    change here forks sample membership across the whole family — that
+    is the point of having exactly one copy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vals = [
+        "" if v is None else v
+        for v in pc.cast(batch.column(key_idx), pa.string()).to_pylist()
+    ]
+    return _hash_strings_batch(vals, seed)
+
+
 def sample_hash_frag(col: str, dialect: str, seed: int = 1) -> str:
     """SQL twin of the sampling hash: poly hash of 's{seed}:' || key."""
     cast = (
@@ -146,15 +162,7 @@ def sample_fraction(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            # C-level stringify (int64 -> "123", identical to the SQL
-            # CAST for the enforced integral/string key types)
-            vals = [
-                "" if v is None else v
-                for v in pc.cast(
-                    batch.column(key_idx), pa.string()
-                ).to_pylist()
-            ]
-            h = _hash_strings_batch(vals, seed)
+            h = _batch_key_hashes(batch, key_idx, seed)
             keep = (h % _DENOM) < cutoff
             yield batch.filter(pa.array(keep))
 
@@ -210,13 +218,7 @@ def sample_topk_per_group(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            vals = [
-                "" if v is None else v
-                for v in pc.cast(
-                    batch.column(key_idx), pa.string()
-                ).to_pylist()
-            ]
-            h = _hash_strings_batch(vals, seed)
+            h = _batch_key_hashes(batch, key_idx, seed)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(i) for i in range(batch.num_columns)]
                 + [pa.array(h, type=pa.int64())],
@@ -254,6 +256,25 @@ def sample_mixture(
     """
     _check_key_type(df, key_col, "sample_mixture")
     _check_key_type(df, group_col, "sample_mixture (group)")
+    # fraction keys must match the group column's Python type: a str key
+    # against an int column silently misses the dict lookup on the Spark
+    # side while the SQL twin's '5' = 5 COERCES and matches — the
+    # engines would return different row sets with no error
+    from pyspark.sql.types import StringType
+
+    want_str = isinstance(df.schema[group_col].dataType, StringType)
+    for g in fractions:
+        ok = (
+            isinstance(g, str)
+            if want_str
+            else isinstance(g, (int, np.integer)) and not isinstance(g, bool)
+        )
+        if not ok:
+            raise TypeError(
+                f"sample_mixture: fraction key {g!r} does not match the "
+                f"{'string' if want_str else 'integral'} group column "
+                f"{group_col!r}"
+            )
     for g, f in fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for group {g!r} must be in [0, 1]")
@@ -271,13 +292,7 @@ def sample_mixture(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            vals = [
-                "" if v is None else v
-                for v in pc.cast(
-                    batch.column(key_idx), pa.string()
-                ).to_pylist()
-            ]
-            h = _hash_strings_batch(vals, seed) % _DENOM
+            h = _batch_key_hashes(batch, key_idx, seed) % _DENOM
             groups = batch.column(grp_idx).to_pylist()
             cuts = np.fromiter(
                 (cut.get(g, default_cut) for g in groups),
@@ -381,13 +396,7 @@ def sample_split(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            vals = [
-                "" if v is None else v
-                for v in pc.cast(
-                    batch.column(key_idx), pa.string()
-                ).to_pylist()
-            ]
-            h = _hash_strings_batch(vals, seed) % _DENOM
+            h = _batch_key_hashes(batch, key_idx, seed) % _DENOM
             labels = np.empty(len(h), dtype=object)
             for name, lo, hi in cut:
                 labels[(h >= lo) & (h < hi)] = name

@@ -46,7 +46,9 @@ def write_bucketed(
     if missing:
         raise ValueError(f"columns not in DataFrame: {missing}")
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # no pre-DROP: SaveMode.Overwrite already replaces the catalog entry,
+    # and dropping first widens the window where a failed write leaves NO
+    # table behind instead of the previous one
     w = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -66,11 +66,17 @@ def streaming_interval_join(
             f"non-key columns present on both sides: {sorted(overlap)} — "
             "rename before joining"
         )
-    checked_end = F.expr(
-        f"CASE WHEN {end_ts} > {start_ts} + INTERVAL {max_interval} "
-        f"THEN raise_error('streaming_interval_join: interval longer "
-        f"than max_interval') ELSE {end_ts} END"
-    )
+    # column API (not f-string SQL) so non-simple column names resolve
+    # the same way they do in the batch twin
+    horizon = F.expr(f"INTERVAL {max_interval}")
+    checked_end = F.when(
+        F.col(end_ts) > F.col(start_ts) + horizon,
+        F.raise_error(
+            F.lit(
+                "streaming_interval_join: interval longer than max_interval"
+            )
+        ).cast("timestamp"),
+    ).otherwise(F.col(end_ts))
     p = points.withWatermark(point_ts, point_watermark)
     iv = (
         intervals.withColumn(end_ts, checked_end)
@@ -82,7 +88,7 @@ def streaming_interval_join(
     cond = (
         cond
         & (p[point_ts] >= iv[start_ts])
-        & (p[point_ts] <= iv[start_ts] + F.expr(f"INTERVAL {max_interval}"))
+        & (p[point_ts] <= iv[start_ts] + horizon)
         & (p[point_ts] <= iv[end_ts])
     )
     joined = p.join(iv, cond, "inner")

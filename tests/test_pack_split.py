@@ -296,3 +296,18 @@ def test_split_cutoffs_property():
             assert abs((hi - lo) / _DENOM - weights[name]) <= 2 / _DENOM
 
     check()
+
+
+def test_mixture_key_type_mismatch_is_loud(spark):
+    from go_tdigest_spark.operators.sample import sample_mixture
+
+    df = _corpus(spark, n=5)  # source is string
+    with pytest.raises(TypeError, match="does not match"):
+        sample_mixture(df, "doc_id", "source", {5: 1.0})
+    idf = spark.createDataFrame(
+        [("d1", 5), ("d2", 6)], "doc_id string, grp int"
+    )
+    with pytest.raises(TypeError, match="does not match"):
+        sample_mixture(idf, "doc_id", "grp", {"5": 1.0})
+    # correct types pass
+    assert sample_mixture(idf, "doc_id", "grp", {5: 1.0}).count() == 1
