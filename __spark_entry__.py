@@ -395,6 +395,46 @@ def _q_pipeline_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_td_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-series sketching: one digest per tumbling hour window; the
+    # exact digest reads (count/min/max) hash-match a date_trunc oracle,
+    # pinning the windowed scan -> partial -> merge pipeline
+    ev = table(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    d = tdigest_agg(ev, "value", by=["hour"])
+    return d.select(
+        "hour",
+        td_count("digest").alias("n"),
+        td_quantile("digest", 0.0).alias("min_value"),
+        td_quantile("digest", 1.0).alias("max_value"),
+    )
+
+
+def _q_td_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drift detection from sketches alone: KS distance between the
+    # click and view value distributions, plus an incremental merge
+    # (td_merge_pair) whose count is exact under merge — rows-only
+    # (KS is approximate); merge-count additivity and KS bounds pinned
+    # in tests/test_spark_agg.py
+    from go_tdigest_spark.functions import td_ks_distance, td_merge_pair
+
+    ev = table(spark, sf_dir, "events")
+    d = tdigest_agg(ev, "value", by=["event_type"])
+    a = d.where("event_type = 'click'").select(
+        F.col("digest").alias("da"), F.col("n_rows").alias("n_click")
+    )
+    b = d.where("event_type = 'view'").select(
+        F.col("digest").alias("db"), F.col("n_rows").alias("n_view")
+    )
+    return a.crossJoin(b).select(
+        "n_click",
+        "n_view",
+        td_count(td_merge_pair("da", "db")).alias("n_merged"),
+        F.round(td_ks_distance("da", "db"), 4).alias("ks_click_view"),
+    )
+
+
 def _q_td_bucket_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate decile bucketing by sketch boundaries (no global
     # sort).  Boundaries are approximate -> rows-only here; the bucket
@@ -880,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_subsample": _q_pipeline_subsample,
         "pipeline_pretrain": _q_pipeline_pretrain,
         "td_bucket_lineitem": _q_td_bucket_lineitem,
+        "td_drift_events": _q_td_drift_events,
+        "td_hourly_events": _q_td_hourly_events,
         "ntile_price_deciles": _q_ntile_price_deciles,
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
@@ -1233,6 +1275,14 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT text) AS n_distinct,
                    count(*) - count(DISTINCT text) AS n_dup_docs
             FROM documents GROUP BY source
+        """,
+        "td_hourly_events": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(value) AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events WHERE value IS NOT NULL
+            GROUP BY date_trunc('hour', ts)
         """,
         "ntile_price_deciles": """
             SELECT l_returnflag, decile, count(*) AS n,

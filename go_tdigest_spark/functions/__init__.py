@@ -6,6 +6,8 @@ from .tdigest_fns import (
     td_centroids,
     td_count,
     td_from_ref_bytes,
+    td_ks_distance,
+    td_merge_pair,
     td_ncentroids,
     td_quantile,
     td_to_ref_bytes,
@@ -20,6 +22,8 @@ __all__ = [
     "td_centroids",
     "td_count",
     "td_from_ref_bytes",
+    "td_ks_distance",
+    "td_merge_pair",
     "td_ncentroids",
     "td_quantile",
     "td_to_ref_bytes",

@@ -111,6 +111,62 @@ def td_centroids(digest: Column | str) -> Column:
     return _f(digest)
 
 
+def td_merge_pair(a: Column | str, b: Column | str) -> Column:
+    """Merge two digest columns into one digest — the incremental-
+    maintenance read (yesterday's digest + today's without touching raw
+    data; reference Merge semantics, tdigest.go:262-272).  NULL is the
+    merge identity: NULL+d = d, NULL+NULL = NULL — matching how a group
+    absent from one side's aggregation should combine."""
+
+    @pandas_udf("binary")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(sa, sb):
+            if ba is None and bb is None:
+                out.append(None)
+            elif ba is None:
+                out.append(bytes(bb))
+            elif bb is None:
+                out.append(bytes(ba))
+            else:
+                merged = serde.decode(bytes(ba)).merge(
+                    serde.decode(bytes(bb))
+                )
+                out.append(serde.encode(merged))
+        return pd.Series(out)
+
+    return _f(a, b)
+
+
+def td_ks_distance(a: Column | str, b: Column | str) -> Column:
+    """Approximate Kolmogorov-Smirnov distance between the two digests'
+    distributions: max |CDF_a(x) - CDF_b(x)| over the union of both
+    centroid mean sets plus both extremes — the drift-detection read
+    (today's value distribution vs yesterday's, cohort A vs cohort B)
+    computed from sketches alone.  Exact 0.0 for identical digests;
+    NULL if either side is NULL.  Accuracy inherits the digests' CDF
+    error (~1/compression interior), fine for drift thresholds like
+    0.05+."""
+
+    @pandas_udf("double")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(sa, sb):
+            if ba is None or bb is None:
+                out.append(None)
+                continue
+            da = serde.decode(bytes(ba))
+            db = serde.decode(bytes(bb))
+            xs = np.union1d(da.centroids()[0], db.centroids()[0])
+            if xs.size == 0:
+                out.append(0.0)
+                continue
+            out.append(float(np.max(np.abs(da.cdf(xs) - db.cdf(xs)))))
+        return pd.Series(out)
+
+    return _f(a, b)
+
+
 def td_to_ref_bytes(digest: Column | str) -> Column:
     """Re-encode to the go/Java-compatible smallEncoding v2 wire format."""
 
@@ -170,7 +226,44 @@ def register_sql_functions(spark: SparkSession) -> None:
     def td_count_sql(s: pd.Series) -> pd.Series:
         return _map_digests(s, lambda d: d.count)
 
+    @pandas_udf("binary")
+    def td_merge_pair_sql(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(sa, sb):
+            if ba is None and bb is None:
+                out.append(None)
+            elif ba is None:
+                out.append(bytes(bb))
+            elif bb is None:
+                out.append(bytes(ba))
+            else:
+                out.append(
+                    serde.encode(
+                        serde.decode(bytes(ba)).merge(serde.decode(bytes(bb)))
+                    )
+                )
+        return pd.Series(out)
+
+    @pandas_udf("double")
+    def td_ks_distance_sql(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(sa, sb):
+            if ba is None or bb is None:
+                out.append(None)
+                continue
+            da = serde.decode(bytes(ba))
+            db = serde.decode(bytes(bb))
+            xs = np.union1d(da.centroids()[0], db.centroids()[0])
+            out.append(
+                0.0
+                if xs.size == 0
+                else float(np.max(np.abs(da.cdf(xs) - db.cdf(xs))))
+            )
+        return pd.Series(out)
+
     spark.udf.register("td_quantile", td_quantile_sql)
     spark.udf.register("td_cdf", td_cdf_sql)
     spark.udf.register("td_trimmed_mean", td_trimmed_mean_sql)
     spark.udf.register("td_count", td_count_sql)
+    spark.udf.register("td_merge_pair", td_merge_pair_sql)
+    spark.udf.register("td_ks_distance", td_ks_distance_sql)

@@ -162,6 +162,19 @@ def test_sql_registration(spark, lineitem):
     assert (out["p99"] > out["tm"]).all()
     assert out["c"].between(0, 1).all()
 
+    # pair functions callable from SQL: self-merge doubles the count,
+    # self-KS is exactly zero
+    pair = spark.sql(
+        """
+        SELECT td_count(td_merge_pair(digest, digest)) AS n2,
+               td_count(digest) AS n,
+               td_ks_distance(digest, digest) AS ks
+        FROM li_digests
+        """
+    ).toPandas()
+    assert (pair["n2"] == 2 * pair["n"]).all()
+    assert (pair["ks"] == 0.0).all()
+
 
 def test_explode_arrays_tokens_path(spark):
     # per-token value distribution: array<int> flattened inside Arrow
@@ -619,3 +632,57 @@ def test_tdigest_bucket_grouped(spark):
     assert all(r["nb"] == 4 for r in per_group)
     with pytest.raises(ValueError, match="n_buckets"):
         tdigest_bucket(df, "v", 0)
+
+
+def test_td_merge_pair_and_ks_distance(spark, lineitem):
+    """td_merge_pair: count exactly additive, tails preserved, NULL is
+    the merge identity.  td_ks_distance: 0 for identical digests, ~1 for
+    disjoint ranges, and within sketch error of the exact KS for
+    overlapping distributions."""
+    from go_tdigest_spark.functions import td_ks_distance, td_merge_pair
+
+    d = tdigest_agg(lineitem, "l_extendedprice", by=["l_returnflag"])
+    rows = d.collect()
+    a = d.where("l_returnflag = 'A'").select(
+        F.col("digest").alias("da"), F.col("n_rows").alias("na")
+    )
+    r = d.where("l_returnflag = 'R'").select(
+        F.col("digest").alias("db"), F.col("n_rows").alias("nb")
+    )
+    j = a.crossJoin(r).select(
+        "na",
+        "nb",
+        td_count(td_merge_pair("da", "db")).alias("n_merged"),
+        td_quantile(td_merge_pair("da", "db"), 0.0).alias("mn"),
+        td_quantile(td_merge_pair("da", "db"), 1.0).alias("mx"),
+        td_ks_distance("da", "db").alias("ks_ab"),
+        td_ks_distance("da", "da").alias("ks_self"),
+        td_ks_distance("da", F.lit(None).cast("binary")).alias("ks_null"),
+        td_count(
+            td_merge_pair("da", F.lit(None).cast("binary"))
+        ).alias("n_null_merge"),
+    ).collect()[0]
+    assert j["n_merged"] == j["na"] + j["nb"]
+    assert j["n_null_merge"] == j["na"]  # NULL is the merge identity
+    assert j["ks_self"] == 0.0
+    assert j["ks_null"] is None
+    # A and R prices are near-identically distributed -> tiny KS
+    assert 0.0 <= j["ks_ab"] < 0.05
+    # exact min/max survive the pair merge
+    mins = [serde.decode(bytes(x["digest"])).quantile(0.0) for x in rows
+            if x["l_returnflag"] in ("A", "R")]
+    maxs = [serde.decode(bytes(x["digest"])).quantile(1.0) for x in rows
+            if x["l_returnflag"] in ("A", "R")]
+    assert j["mn"] == min(mins) and j["mx"] == max(maxs)
+
+    # disjoint ranges -> KS ~ 1
+    lo = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    hi = spark.createDataFrame(
+        [(1000.0 + i,) for i in range(100)], "v double"
+    )
+    dlo = tdigest_agg(lo, "v").select(F.col("digest").alias("da"))
+    dhi = tdigest_agg(hi, "v").select(F.col("digest").alias("db"))
+    ks = dlo.crossJoin(dhi).select(
+        td_ks_distance("da", "db").alias("ks")
+    ).collect()[0]["ks"]
+    assert ks > 0.95
