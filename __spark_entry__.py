@@ -649,6 +649,37 @@ def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sketch algebra: audience overlap between two event cohorts from
+    # HLL sketches alone (inclusion-exclusion) — rows-only here; the
+    # estimates are bounds-gated against exact set arithmetic in
+    # tests/test_sketches.py
+    from go_tdigest_spark.operators import (
+        hll_agg,
+        hll_estimate,
+        hll_intersect_estimate,
+        hll_union_pair,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    a = hll_agg(ev.where("event_type = 'click'"), ["user_id"]).select(
+        F.col("sketch").alias("sa"), F.col("n_rows").alias("click_rows")
+    )
+    b = hll_agg(ev.where("event_type = 'purchase'"), ["user_id"]).select(
+        F.col("sketch").alias("sb"), F.col("n_rows").alias("purchase_rows")
+    )
+    return a.crossJoin(b).select(
+        "click_rows",
+        "purchase_rows",
+        F.round(hll_estimate(hll_union_pair("sa", "sb")), 0).alias(
+            "approx_union_users"
+        ),
+        F.round(hll_intersect_estimate("sa", "sb"), 0).alias(
+            "approx_common_users"
+        ),
+    )
+
+
 def _q_cms_supplier_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_tdigest_spark.operators import cms_agg, cms_point_query
 
@@ -938,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_stats_lineitem": _q_kll_stats_lineitem,
         "hll_distinct_users": _q_hll_distinct_users,
         "hll_users_exact": _q_hll_users_exact,
+        "hll_overlap_users": _q_hll_overlap_users,
         "cms_supplier_freq": _q_cms_supplier_freq,
         "cms_total_lineitem": _q_cms_total_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,

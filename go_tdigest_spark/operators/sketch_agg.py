@@ -230,6 +230,120 @@ def hll_estimate(sketch: Column | str) -> Column:
     return _hll_estimate_udf(sketch)
 
 
+# ------------------------------------------------------- sketch algebra
+#
+# Pairwise set operations on serialized sketches — the reads that turn
+# two cohorts' sketches into overlap/union answers without rescanning
+# raw data.  NULL semantics: for UNION/ADD, NULL is the identity
+# (an absent group contributes nothing); for the INTERSECTION estimate,
+# NULL propagates (an unknown set has an unknown overlap).
+
+
+def _pair_udf(ret_type, fn, null_identity: bool):
+    @pandas_udf(ret_type)
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(sa, sb):
+            if ba is None and bb is None:
+                out.append(None)
+            elif ba is None:
+                out.append(bytes(bb) if null_identity else None)
+            elif bb is None:
+                out.append(bytes(ba) if null_identity else None)
+            else:
+                out.append(fn(bytes(ba), bytes(bb)))
+        return pd.Series(out)
+
+    return _f
+
+
+def _hll_union_bytes(ba: bytes, bb: bytes) -> bytes:
+    return HLL.from_bytes(ba).merge(HLL.from_bytes(bb)).to_bytes()
+
+
+_hll_union_pair_udf = _pair_udf(BinaryType(), _hll_union_bytes, True)
+
+
+def hll_union_pair(a: Column | str, b: Column | str) -> Column:
+    """Union of two HLL sketches (register-wise max) — NULL identity."""
+    return _hll_union_pair_udf(a, b)
+
+
+@pandas_udf(DoubleType())
+def _hll_intersect_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(sa, sb):
+        if ba is None or bb is None:
+            out.append(None)
+            continue
+        a = HLL.from_bytes(bytes(ba))
+        b = HLL.from_bytes(bytes(bb))
+        u = HLL.from_bytes(bytes(ba)).merge(b)
+        out.append(max(0.0, a.estimate() + b.estimate() - u.estimate()))
+    return pd.Series(out)
+
+
+def hll_intersect_estimate(a: Column | str, b: Column | str) -> Column:
+    """|A ∩ B| by inclusion-exclusion over HLL estimates.  Error is the
+    SUM of the three estimates' errors, so relative error blows up when
+    the overlap is much smaller than either set — the standard HLL
+    intersection caveat; good for overlap fractions ≳ a few percent."""
+    return _hll_intersect_udf(a, b)
+
+
+def _bloom_union_bytes(ba: bytes, bb: bytes) -> bytes:
+    return BloomFilter.from_bytes(ba).merge(BloomFilter.from_bytes(bb)).to_bytes()
+
+
+def _bloom_intersect_bytes(ba: bytes, bb: bytes) -> bytes:
+    a = BloomFilter.from_bytes(ba)
+    b = BloomFilter.from_bytes(bb)
+    if (a.n_bits, a.k) != (b.n_bits, b.k):
+        raise ValueError("bloom config mismatch")
+    import numpy as _np
+
+    _np.bitwise_and(a.bits, b.bits, out=a.bits)
+    return a.to_bytes()
+
+
+_bloom_union_pair_udf = _pair_udf(BinaryType(), _bloom_union_bytes, True)
+_bloom_intersect_pair_udf = _pair_udf(
+    BinaryType(), _bloom_intersect_bytes, False
+)
+
+
+def bloom_union_pair(a: Column | str, b: Column | str) -> Column:
+    """Bitwise-OR union: exactly the filter a single build over A ∪ B
+    would produce.  NULL identity."""
+    return _bloom_union_pair_udf(a, b)
+
+
+def bloom_intersect_pair(a: Column | str, b: Column | str) -> Column:
+    """Bitwise-AND intersection: never a false negative for keys in
+    A ∩ B, but a HIGHER false-positive rate than a fresh build over the
+    intersection (bits set by different keys on each side can
+    coincide).  NULL propagates."""
+    return _bloom_intersect_pair_udf(a, b)
+
+
+def _cms_merge_bytes(ba: bytes, bb: bytes) -> bytes:
+    return (
+        CountMinSketch.from_bytes(ba)
+        .merge(CountMinSketch.from_bytes(bb))
+        .to_bytes()
+    )
+
+
+_cms_merge_pair_udf = _pair_udf(BinaryType(), _cms_merge_bytes, True)
+
+
+def cms_merge_pair(a: Column | str, b: Column | str) -> Column:
+    """Counter-wise sum of two CMS sketches: point estimates over the
+    merged sketch bound the combined true counts from above, exactly as
+    a single build over both streams would.  NULL identity."""
+    return _cms_merge_pair_udf(a, b)
+
+
 # ---------------------------------------------------------------- Bloom
 
 

@@ -860,3 +860,103 @@ def test_weight_and_plane_guards(spark):
         lsh_features(emb, "embedding", "vec_id", 54, 8)
     with pytest.raises(ValueError, match="n_planes"):
         lsh_signature_col("embedding", 64, 8)
+
+
+# ------------------------------------------------------- sketch algebra
+
+
+def test_hll_pair_union_and_intersection(spark):
+    """Inclusion-exclusion overlap from HLL sketches vs exact set
+    arithmetic on overlapping integer cohorts."""
+    from go_tdigest_spark.operators import (
+        hll_agg,
+        hll_estimate,
+        hll_intersect_estimate,
+        hll_union_pair,
+    )
+
+    a_vals = [(i,) for i in range(2000)]
+    b_vals = [(i,) for i in range(1000, 4000)]
+    da = spark.createDataFrame(a_vals, "v long")
+    db = spark.createDataFrame(b_vals, "v long")
+    sa = hll_agg(da, ["v"]).select(F.col("sketch").alias("sa"))
+    sb = hll_agg(db, ["v"]).select(F.col("sketch").alias("sb"))
+    row = sa.crossJoin(sb).select(
+        hll_estimate(hll_union_pair("sa", "sb")).alias("u"),
+        hll_intersect_estimate("sa", "sb").alias("i"),
+        hll_estimate(hll_union_pair("sa", F.lit(None).cast("binary"))).alias(
+            "u_null"
+        ),
+        hll_intersect_estimate("sa", F.lit(None).cast("binary")).alias(
+            "i_null"
+        ),
+    ).collect()[0]
+    # union = 4000, intersection = 1000 exactly; HLL p=12 rel err ~1.6%,
+    # intersection inherits the sum of three errors -> generous bounds
+    assert abs(row["u"] - 4000) / 4000 < 0.1
+    assert abs(row["i"] - 1000) / 1000 < 0.3
+    assert abs(row["u_null"] - 2000) / 2000 < 0.1  # NULL union identity
+    assert row["i_null"] is None  # NULL propagates for intersection
+
+
+def test_bloom_pair_union_intersect(spark):
+    from go_tdigest_spark.operators import (
+        bloom_agg,
+        bloom_intersect_pair,
+        bloom_might_contain,
+        bloom_union_pair,
+    )
+    da = spark.createDataFrame([(i,) for i in range(500)], "v long")
+    db = spark.createDataFrame([(i,) for i in range(400, 900)], "v long")
+    sa = bloom_agg(da, ["v"]).select(F.col("sketch").alias("sa"))
+    sb = bloom_agg(db, ["v"]).select(F.col("sketch").alias("sb"))
+    pair = sa.crossJoin(sb).select(
+        bloom_union_pair("sa", "sb").alias("u"),
+        bloom_intersect_pair("sa", "sb").alias("i"),
+    )
+    probes = spark.createDataFrame(
+        [(450,), (10,), (880,)], "v long"
+    )  # in-both, only-A, only-B
+    probed = (
+        probes.crossJoin(pair)
+        .select(
+            "v",
+            bloom_might_contain(
+                "u", F.xxhash64("v"), F.xxhash64("v", F.lit(1))
+            ).alias("in_u"),
+            bloom_might_contain(
+                "i", F.xxhash64("v"), F.xxhash64("v", F.lit(1))
+            ).alias("in_i"),
+        )
+        .collect()
+    )
+    got = {r["v"]: (r["in_u"], r["in_i"]) for r in probed}
+    # union: no false negatives anywhere; intersect: never misses a
+    # common key (one-sided guarantee — only-A/only-B may false-positive)
+    assert got[450] == (True, True)
+    assert got[10][0] is True and got[880][0] is True
+
+
+def test_cms_pair_merge_additive(spark):
+    from go_tdigest_spark.operators import (
+        cms_agg,
+        cms_merge_pair,
+        cms_point_query,
+        cms_total,
+    )
+    da = spark.createDataFrame([(1,)] * 30 + [(2,)] * 5, "v long")
+    db = spark.createDataFrame([(1,)] * 20 + [(3,)] * 7, "v long")
+    sa = cms_agg(da, "v").select(F.col("sketch").alias("sa"))
+    sb = cms_agg(db, "v").select(F.col("sketch").alias("sb"))
+    pair = sa.crossJoin(sb).select(cms_merge_pair("sa", "sb").alias("m"))
+    row = (
+        spark.createDataFrame([(1,)], "v long")
+        .crossJoin(pair)
+        .select(
+            cms_total("m").alias("total"),
+            cms_point_query("m", F.xxhash64("v")).alias("est1"),
+        )
+        .collect()[0]
+    )
+    assert row["total"] == 62  # counter-wise sum: totals exactly additive
+    assert row["est1"] >= 50  # overcount-only survives the pair merge
