@@ -430,6 +430,9 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         "pipeline_pretrain",
         "ntile_price_deciles",
         "td_bucket_lineitem",
+        "td_drift_events",
+        "td_hourly_events",
+        "hll_overlap_users",
     ]
     for name in hot:
         df = qs[name](spark, sf)
