@@ -419,12 +419,14 @@ def _q_td_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in tests/test_spark_agg.py
     from go_tdigest_spark.functions import td_ks_distance, td_merge_pair
 
+    # filter BEFORE aggregating: sketching all five event types and
+    # discarding three (and running the pipeline once per crossJoin
+    # branch) is strictly more work — review finding
     ev = table(spark, sf_dir, "events")
-    d = tdigest_agg(ev, "value", by=["event_type"])
-    a = d.where("event_type = 'click'").select(
+    a = tdigest_agg(ev.where("event_type = 'click'"), "value").select(
         F.col("digest").alias("da"), F.col("n_rows").alias("n_click")
     )
-    b = d.where("event_type = 'view'").select(
+    b = tdigest_agg(ev.where("event_type = 'view'"), "value").select(
         F.col("digest").alias("db"), F.col("n_rows").alias("n_view")
     )
     return a.crossJoin(b).select(

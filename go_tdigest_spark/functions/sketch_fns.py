@@ -41,6 +41,20 @@ def register_sketch_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("kll_count", _kll_count_udf)
     spark.udf.register("hll_estimate", _hll_estimate_udf)
     spark.udf.register("cms_total", _cms_total_udf)
+    # sketch algebra (pair ops share the Column API's module-level UDFs)
+    from ..operators.sketch_agg import (
+        _bloom_intersect_pair_udf,
+        _bloom_union_pair_udf,
+        _cms_merge_pair_udf,
+        _hll_intersect_udf,
+        _hll_union_pair_udf,
+    )
+
+    spark.udf.register("hll_union_pair", _hll_union_pair_udf)
+    spark.udf.register("hll_intersect_estimate", _hll_intersect_udf)
+    spark.udf.register("bloom_union_pair", _bloom_union_pair_udf)
+    spark.udf.register("bloom_intersect_pair", _bloom_intersect_pair_udf)
+    spark.udf.register("cms_merge_pair", _cms_merge_pair_udf)
     # raw probe kernels under private names; the public SQL names are
     # NULL-masking wrappers (coalesce keeps the hash column int64 even
     # when the CASE branch is batch-evaluated over NULL rows — the same

@@ -111,60 +111,88 @@ def td_centroids(digest: Column | str) -> Column:
     return _f(digest)
 
 
+# Module-level pandas UDFs (DataType objects, not DDL strings — the
+# module-level @pandas_udf gotcha) so the Column API and
+# spark.udf.register share ONE implementation each — same convention as
+# _bloom_might_contain_udf in sketch_agg.py, no SQL twin to drift.
+from pyspark.sql.types import BinaryType as _BinaryType
+from pyspark.sql.types import DoubleType as _DoubleType
+
+
+@pandas_udf(_BinaryType())
+def _td_merge_pair_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(sa, sb):
+        if ba is None and bb is None:
+            out.append(None)
+        elif ba is None:
+            out.append(bytes(bb))
+        elif bb is None:
+            out.append(bytes(ba))
+        else:
+            merged = serde.decode(bytes(ba)).merge(serde.decode(bytes(bb)))
+            out.append(serde.encode(merged))
+    return pd.Series(out)
+
+
+def _cdf_knots(d) -> np.ndarray:
+    """Breakpoints of the digest's piecewise-linear CDF (core.py cdf:
+    [lo0, midpoints...]; single centroid = a step at its mean)."""
+    means, _ = d.centroids()
+    m = means.size
+    if m == 0:
+        return np.empty(0, dtype=np.float64)
+    if m == 1:
+        return means.astype(np.float64)
+    mids = (means[:-1] + means[1:]) / 2.0
+    lo0 = means[0] - (means[1] - means[0]) / 2.0
+    return np.concatenate(([lo0], mids))
+
+
+@pandas_udf(_DoubleType())
+def _td_ks_distance_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(sa, sb):
+        if ba is None or bb is None:
+            out.append(None)
+            continue
+        da = serde.decode(bytes(ba))
+        db = serde.decode(bytes(bb))
+        if da.count == 0 or db.count == 0:
+            # an empty digest has no CDF (core.cdf returns NaN) — a
+            # degenerate comparison is NULL, never a silent NaN that
+            # makes every drift threshold evaluate False
+            out.append(None)
+            continue
+        # sup of |F_a - F_b| for two piecewise-linear CDFs is attained
+        # at a breakpoint of EITHER function; nextafter points capture
+        # the left limits of the terminal jumps
+        knots = np.union1d(_cdf_knots(da), _cdf_knots(db))
+        xs = np.union1d(knots, np.nextafter(knots, -np.inf))
+        out.append(float(np.max(np.abs(da.cdf(xs) - db.cdf(xs)))))
+    return pd.Series(out)
+
+
 def td_merge_pair(a: Column | str, b: Column | str) -> Column:
     """Merge two digest columns into one digest — the incremental-
     maintenance read (yesterday's digest + today's without touching raw
     data; reference Merge semantics, tdigest.go:262-272).  NULL is the
     merge identity: NULL+d = d, NULL+NULL = NULL — matching how a group
     absent from one side's aggregation should combine."""
-
-    @pandas_udf("binary")
-    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        out = []
-        for ba, bb in zip(sa, sb):
-            if ba is None and bb is None:
-                out.append(None)
-            elif ba is None:
-                out.append(bytes(bb))
-            elif bb is None:
-                out.append(bytes(ba))
-            else:
-                merged = serde.decode(bytes(ba)).merge(
-                    serde.decode(bytes(bb))
-                )
-                out.append(serde.encode(merged))
-        return pd.Series(out)
-
-    return _f(a, b)
+    return _td_merge_pair_udf(a, b)
 
 
 def td_ks_distance(a: Column | str, b: Column | str) -> Column:
     """Approximate Kolmogorov-Smirnov distance between the two digests'
     distributions: max |CDF_a(x) - CDF_b(x)| over the union of both
-    centroid mean sets plus both extremes — the drift-detection read
-    (today's value distribution vs yesterday's, cohort A vs cohort B)
-    computed from sketches alone.  Exact 0.0 for identical digests;
-    NULL if either side is NULL.  Accuracy inherits the digests' CDF
-    error (~1/compression interior), fine for drift thresholds like
-    0.05+."""
-
-    @pandas_udf("double")
-    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        out = []
-        for ba, bb in zip(sa, sb):
-            if ba is None or bb is None:
-                out.append(None)
-                continue
-            da = serde.decode(bytes(ba))
-            db = serde.decode(bytes(bb))
-            xs = np.union1d(da.centroids()[0], db.centroids()[0])
-            if xs.size == 0:
-                out.append(0.0)
-                continue
-            out.append(float(np.max(np.abs(da.cdf(xs) - db.cdf(xs)))))
-        return pd.Series(out)
-
-    return _f(a, b)
+    CDFs' breakpoints (plus their left limits), where the sup of a
+    difference of piecewise-linear functions must lie — the
+    drift-detection read (today's value distribution vs yesterday's,
+    cohort A vs cohort B) computed from sketches alone.  Exactly 0.0
+    for identical digests; NULL if either side is NULL or empty.
+    Accuracy inherits the digests' CDF error (~1/compression interior),
+    fine for drift thresholds like 0.05+."""
+    return _td_ks_distance_udf(a, b)
 
 
 def td_to_ref_bytes(digest: Column | str) -> Column:
@@ -226,44 +254,11 @@ def register_sql_functions(spark: SparkSession) -> None:
     def td_count_sql(s: pd.Series) -> pd.Series:
         return _map_digests(s, lambda d: d.count)
 
-    @pandas_udf("binary")
-    def td_merge_pair_sql(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        out = []
-        for ba, bb in zip(sa, sb):
-            if ba is None and bb is None:
-                out.append(None)
-            elif ba is None:
-                out.append(bytes(bb))
-            elif bb is None:
-                out.append(bytes(ba))
-            else:
-                out.append(
-                    serde.encode(
-                        serde.decode(bytes(ba)).merge(serde.decode(bytes(bb)))
-                    )
-                )
-        return pd.Series(out)
-
-    @pandas_udf("double")
-    def td_ks_distance_sql(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        out = []
-        for ba, bb in zip(sa, sb):
-            if ba is None or bb is None:
-                out.append(None)
-                continue
-            da = serde.decode(bytes(ba))
-            db = serde.decode(bytes(bb))
-            xs = np.union1d(da.centroids()[0], db.centroids()[0])
-            out.append(
-                0.0
-                if xs.size == 0
-                else float(np.max(np.abs(da.cdf(xs) - db.cdf(xs))))
-            )
-        return pd.Series(out)
-
     spark.udf.register("td_quantile", td_quantile_sql)
     spark.udf.register("td_cdf", td_cdf_sql)
     spark.udf.register("td_trimmed_mean", td_trimmed_mean_sql)
     spark.udf.register("td_count", td_count_sql)
-    spark.udf.register("td_merge_pair", td_merge_pair_sql)
-    spark.udf.register("td_ks_distance", td_ks_distance_sql)
+    # shared module-level implementations — Column API and SQL are the
+    # same function object, nothing to drift
+    spark.udf.register("td_merge_pair", _td_merge_pair_udf)
+    spark.udf.register("td_ks_distance", _td_ks_distance_udf)

@@ -278,8 +278,10 @@ def _hll_intersect_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
             continue
         a = HLL.from_bytes(bytes(ba))
         b = HLL.from_bytes(bytes(bb))
-        u = HLL.from_bytes(bytes(ba)).merge(b)
-        out.append(max(0.0, a.estimate() + b.estimate() - u.estimate()))
+        # take both standalone estimates BEFORE the in-place merge, then
+        # reuse a as the union — one decode per side
+        ea, eb = a.estimate(), b.estimate()
+        out.append(max(0.0, ea + eb - a.merge(b).estimate()))
     return pd.Series(out)
 
 
@@ -296,14 +298,11 @@ def _bloom_union_bytes(ba: bytes, bb: bytes) -> bytes:
 
 
 def _bloom_intersect_bytes(ba: bytes, bb: bytes) -> bytes:
-    a = BloomFilter.from_bytes(ba)
-    b = BloomFilter.from_bytes(bb)
-    if (a.n_bits, a.k) != (b.n_bits, b.k):
-        raise ValueError("bloom config mismatch")
-    import numpy as _np
-
-    _np.bitwise_and(a.bits, b.bits, out=a.bits)
-    return a.to_bytes()
+    return (
+        BloomFilter.from_bytes(ba)
+        .intersect(BloomFilter.from_bytes(bb))
+        .to_bytes()
+    )
 
 
 _bloom_union_pair_udf = _pair_udf(BinaryType(), _bloom_union_bytes, True)

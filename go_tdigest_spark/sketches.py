@@ -130,6 +130,15 @@ class BloomFilter:
         np.bitwise_or(self.bits, other.bits, out=self.bits)
         return self
 
+    def intersect(self, other: "BloomFilter") -> "BloomFilter":
+        """Bitwise-AND: never a false negative for keys present in both
+        filters, but a higher false-positive rate than a fresh build
+        over the intersection (bits set by different keys coincide)."""
+        if (other.n_bits, other.k) != (self.n_bits, self.k):
+            raise ValueError("bloom config mismatch")
+        np.bitwise_and(self.bits, other.bits, out=self.bits)
+        return self
+
     def fill_ratio(self) -> float:
         return float(np.unpackbits(self.bits).mean())
 

@@ -960,3 +960,30 @@ def test_cms_pair_merge_additive(spark):
     )
     assert row["total"] == 62  # counter-wise sum: totals exactly additive
     assert row["est1"] >= 50  # overcount-only survives the pair merge
+
+
+def test_sketch_algebra_sql_callable(spark):
+    """The pair ops are SQL-registered (shared module-level UDFs)."""
+    from go_tdigest_spark.functions.sketch_fns import (
+        register_sketch_sql_functions,
+    )
+    from go_tdigest_spark.operators import hll_agg
+
+    register_sketch_sql_functions(spark)
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    hll_agg(df, ["v"]).select(
+        F.col("sketch").alias("s")
+    ).createOrReplaceTempView("alg_sk")
+    row = spark.sql(
+        """
+        SELECT hll_estimate(hll_union_pair(s, s)) AS u,
+               hll_intersect_estimate(s, s) AS i,
+               cms_merge_pair(CAST(NULL AS BINARY),
+                              CAST(NULL AS BINARY)) AS cm
+        FROM alg_sk
+        """
+    ).collect()[0]
+    # self-union = the set itself; self-intersection = the set itself
+    assert abs(row["u"] - 100) / 100 < 0.15
+    assert abs(row["i"] - 100) / 100 < 0.15
+    assert row["cm"] is None

@@ -689,3 +689,19 @@ def test_td_merge_pair_and_ks_distance(spark, lineitem):
         td_ks_distance("da", "db").alias("ks")
     ).collect()[0]["ks"]
     assert ks > 0.95
+
+
+def test_td_ks_distance_empty_digest_is_null(spark):
+    """An empty digest has no CDF: KS vs anything is NULL, never NaN
+    (review fix — NaN silently fails every drift threshold)."""
+    from go_tdigest_spark.functions import td_ks_distance
+
+    d = tdigest_agg(
+        spark.createDataFrame([(1.0,), (2.0,)], "v double"), "v"
+    ).select(F.col("digest").alias("da"))
+    empty = F.lit(serde.empty_digest_bytes()).cast("binary")
+    row = d.select(
+        td_ks_distance("da", empty).alias("ks_e"),
+        td_ks_distance(empty, empty).alias("ks_ee"),
+    ).collect()[0]
+    assert row["ks_e"] is None and row["ks_ee"] is None
