@@ -864,6 +864,22 @@ def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_fragments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the batch-builder view of packing: one row per (doc, window)
+    # fragment with in-window and in-doc offsets — pure Catalyst
+    # arithmetic over a bounded explode, no shuffle beyond pack_chunks'
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    p = pack.pack_chunks(docs, "n_chars", "doc_id", capacity=4096,
+                         by=["source"])
+    f = pack.pack_fragments(p, "n_chars", capacity=4096)
+    return f.select(
+        "doc_id", "source", "frag_bin", "frag_offset", "doc_offset",
+        "frag_len",
+    )
+
+
 def _q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join (operators/asof.py): each purchase event picks up the
     # most recent at-or-prior click by the same user — ONE shuffle on
@@ -983,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split_docs": _q_sample_split_docs,
         "sample_mixture_docs": _q_sample_mixture_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
+        "pack_fragments_docs": _q_pack_fragments_docs,
         "asof_purchase_click": _q_asof_purchase_click,
         "range_join_error_blast": _q_range_join_error_blast,
         "multimodal_meta": _q_multimodal_meta,
@@ -1228,6 +1245,15 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pack.pack_chunks_sql(
                 '(SELECT doc_id, source, n_chars FROM documents)',
                 'n_chars', 'doc_id', 4096, by=['source'])})
+        """,
+        "pack_fragments_docs": f"""
+            SELECT doc_id, source, frag_bin, frag_offset, doc_offset,
+                   frag_len
+            FROM ({pack.pack_fragments_sql(
+                pack.pack_chunks_sql(
+                    '(SELECT doc_id, source, n_chars FROM documents)',
+                    'n_chars', 'doc_id', 4096, by=['source']),
+                'n_chars', 4096)})
         """,
         "asof_purchase_click": asof.asof_join_sql(
             "SELECT event_id, ts, user_id, value AS purchase_value "

@@ -45,7 +45,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_chunks", "pack_chunks_sql"]
+__all__ = [
+    "pack_chunks",
+    "pack_chunks_sql",
+    "pack_fragments",
+    "pack_fragments_sql",
+]
 
 _RESERVED = ("_pid", "start_pos", "end_pos", "bin_id", "bin_offset", "n_bins")
 
@@ -219,6 +224,77 @@ def pack_chunks(
 
     started = parts.mapInArrow(gen, out_schema).drop("_pid")
     return _finalize(started, size_col, capacity)
+
+
+def pack_fragments(
+    packed: DataFrame,
+    size_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Explode a ``pack_chunks`` result into per-window FRAGMENTS — the
+    rows a batch builder actually consumes: for every window a document
+    touches, where the fragment sits in the window and which slice of
+    the document it is.
+
+    Adds to each input row, one output row per spanned window:
+
+        frag_bin     window id (bin_id .. bin_id+n_bins-1)
+        frag_offset  start position INSIDE the window
+        doc_offset   start position INSIDE the document
+        frag_len     fragment length (sums to the doc size across rows)
+
+    Pure Catalyst arithmetic over an ``explode(sequence(...))`` — no
+    shuffle at all: the fragment rows are derived where the packed rows
+    already live.  Replication factor is n_bins per doc (≤ 1 +
+    ceil(size/capacity)), the same bounded-explode shape as the
+    interval join's bucket replication.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    need = {"start_pos", "end_pos", "bin_id", "n_bins", size_col}
+    missing = sorted(need - set(packed.columns))
+    if missing:
+        raise ValueError(
+            f"input is not a pack_chunks result; missing columns: {missing}"
+        )
+    for c in ("frag_bin", "frag_offset", "doc_offset", "frag_len"):
+        if c in packed.columns:
+            raise ValueError(f"input column {c!r} collides with output")
+    out = packed.withColumn(
+        "frag_bin",
+        F.explode(
+            F.sequence(F.col("bin_id"), F.col("bin_id") + F.col("n_bins") - 1)
+        ),
+    )
+    frag_start = F.greatest(F.col("start_pos"), F.col("frag_bin") * capacity)
+    frag_end = F.least(
+        F.col("end_pos"), (F.col("frag_bin") + 1) * F.lit(capacity)
+    )
+    return (
+        out.withColumn("frag_offset", frag_start - F.col("frag_bin") * capacity)
+        .withColumn("doc_offset", frag_start - F.col("start_pos"))
+        .withColumn("frag_len", frag_end - frag_start)
+    )
+
+
+def pack_fragments_sql(
+    packed_sql: str, size_col: str, capacity: int
+) -> str:
+    """DuckDB twin over any SQL producing pack_chunks columns."""
+    return f"""
+        SELECT *,
+               greatest(start_pos, frag_bin * {capacity})
+                   - frag_bin * {capacity} AS frag_offset,
+               greatest(start_pos, frag_bin * {capacity})
+                   - start_pos AS doc_offset,
+               least(end_pos, (frag_bin + 1) * {capacity})
+                   - greatest(start_pos, frag_bin * {capacity}) AS frag_len
+        FROM (
+            SELECT p.*, unnest(generate_series(
+                bin_id, bin_id + n_bins - 1)) AS frag_bin
+            FROM ({packed_sql}) p
+        )
+    """
 
 
 def pack_chunks_sql(

@@ -311,3 +311,67 @@ def test_mixture_key_type_mismatch_is_loud(spark):
         sample_mixture(idf, "doc_id", "grp", {"5": 1.0})
     # correct types pass
     assert sample_mixture(idf, "doc_id", "grp", {5: 1.0}).count() == 1
+
+
+# -------------------------------------------------------------- fragments
+
+
+def test_fragments_hand_computed(spark):
+    from go_tdigest_spark.operators.pack import pack_fragments
+
+    df = spark.createDataFrame(
+        [("d1", 3), ("d2", 5), ("d3", 4)], ["doc_id", "n_tok"]
+    )
+    p = pack_chunks(df, "n_tok", "doc_id", capacity=4)
+    frags = {
+        (r["doc_id"], r["frag_bin"]): (
+            r["frag_offset"], r["doc_offset"], r["frag_len"]
+        )
+        for r in pack_fragments(p, "n_tok", capacity=4).collect()
+    }
+    # stream d1[0..3) d2[3..8) d3[8..12), windows of 4:
+    # d2 splits at position 4 -> (win0: off3 len1) + (win1: off0 len4)
+    assert frags == {
+        ("d1", 0): (0, 0, 3),
+        ("d2", 0): (3, 0, 1),
+        ("d2", 1): (0, 1, 4),
+        ("d3", 2): (0, 0, 4),
+    }
+
+
+def test_fragments_conservation_and_tiling(spark):
+    """Fragment lengths sum to each doc's size, and each window's
+    fragments tile it exactly (offsets+lengths partition [0, cap) for
+    every full window)."""
+    from go_tdigest_spark.operators.pack import pack_fragments
+
+    df = _corpus(spark, n=80)
+    p = pack_chunks(df, "n_tok", "doc_id", 256, by=["source"])
+    f = pack_fragments(p, "n_tok", 256)
+    per_doc = (
+        f.groupBy("doc_id", "n_tok")
+        .agg(F.sum("frag_len").alias("tot"))
+        .collect()
+    )
+    assert all(r["tot"] == r["n_tok"] for r in per_doc)
+    # full windows (all but each group's last) carry exactly 256 units
+    last_bin = f.groupBy("source").agg(F.max("frag_bin").alias("mb"))
+    full = f.join(last_bin, "source").where(F.col("frag_bin") < F.col("mb"))
+    per_win = (
+        full.groupBy("source", "frag_bin")
+        .agg(F.sum("frag_len").alias("w"), F.min("frag_offset").alias("o0"))
+        .collect()
+    )
+    assert all(r["w"] == 256 and r["o0"] == 0 for r in per_win)
+    spark.catalog.clearCache()
+
+
+def test_fragments_validation(spark):
+    from go_tdigest_spark.operators.pack import pack_fragments
+
+    df = _corpus(spark, n=5)
+    with pytest.raises(ValueError, match="not a pack_chunks result"):
+        pack_fragments(df, "n_tok", 4)
+    p = pack_chunks(df, "n_tok", "doc_id", 4)
+    with pytest.raises(ValueError, match="collides"):
+        pack_fragments(p.withColumn("frag_len", F.lit(1)), "n_tok", 4)

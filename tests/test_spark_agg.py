@@ -433,6 +433,7 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         "td_drift_events",
         "td_hourly_events",
         "hll_overlap_users",
+        "pack_fragments_docs",
     ]
     for name in hot:
         df = qs[name](spark, sf)
