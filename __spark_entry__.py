@@ -557,6 +557,34 @@ def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: the "eval set" is the deterministic
+    # doc_id % 41 == 0 slice of the corpus (stands in for a broadcast
+    # benchmark-suite table); per-doc overlap counts are hash-exact
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.where((F.col("doc_id") % 41) == 0)
+    return dedup.decontaminate_stats(
+        docs, eval_df, "text", "doc_id", n=3, threshold=5
+    )
+
+
+def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition filter inputs: per-doc duplicate-2gram and
+    # top-2gram fractions, all map-side (no shuffle in the kernel stage)
+    docs = table(spark, sf_dir, "documents")
+    rep = dedup.repetition_stats(docs, "text", "doc_id", n=2)
+    return rep.select(
+        "doc",
+        "n_grams",
+        "n_distinct",
+        "top_count",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 4
+        ).alias("dup_frac"),
+        F.round(F.col("top_count") / F.col("n_grams"), 4).alias("top_frac"),
+    )
+
+
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=2, n_hashes=16)
@@ -977,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
         "dedup_invindex_jaccard": _q_dedup_invindex_jaccard,
+        "decontam_docs": _q_decontam_docs,
+        "repetition_docs": _q_repetition_docs,
         "dedup_minhash_signatures": _q_minhash_signatures,
         "dedup_minhash_lsh": _q_minhash_lsh_pairs,
         "dedup_simhash": _q_simhash,
@@ -1405,6 +1435,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_invindex_jaccard": dedup.ngram_jaccard_pairs_sql(
             "documents", "text", "doc_id", n=2, threshold=0.4, max_doc_freq=0.02
+        ),
+        "decontam_docs": dedup.decontaminate_sql(
+            "documents", "doc_id % 41 = 0", "text", "doc_id", n=3, threshold=5
+        ),
+        "repetition_docs": dedup.repetition_stats_sql(
+            "documents", "text", "doc_id", n=2
         ),
         "dedup_minhash_signatures": dedup.minhash_signature_sql(
             "documents", "text", "doc_id", n=2, n_hashes=16, as_string=True

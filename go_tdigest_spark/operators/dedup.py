@@ -86,24 +86,29 @@ def words_frag(col: str, dialect: str) -> str:
     return f"list_filter(string_split_regex(lower({col}), '[ \\t\\n\\r\\f\\x0B]+'), w -> w != '')"
 
 
-def shingles_frag(col: str, n: int, dialect: str) -> str:
-    """Distinct word n-gram shingles (n=1: distinct words)."""
+def shingles_frag(col: str, n: int, dialect: str, distinct: bool = True) -> str:
+    """Word n-gram shingles (n=1: words).  ``distinct=True`` (default)
+    dedups — the set view every Jaccard/MinHash caller wants;
+    ``distinct=False`` keeps multiplicity for intra-document repetition
+    statistics (repetition_stats_sql)."""
     w = words_frag(col, dialect)
     if dialect == "spark":
         if n == 1:
-            return f"array_distinct({w})"
+            return f"array_distinct({w})" if distinct else w
+        dd = "array_distinct" if distinct else ""
         joined = " || ' ' || ".join(f"element_at(_w, i + {j})" for j in range(n))
         return (
             f"CASE WHEN size({w}) < {n} THEN array() ELSE "
-            f"array_distinct(transform(sequence(1, size({w}) - {n - 1}), "
+            f"{dd}(transform(sequence(1, size({w}) - {n - 1}), "
             f"i -> {joined.replace('_w', w)})) END"
         )
     if n == 1:
-        return f"list_distinct({w})"
+        return f"list_distinct({w})" if distinct else w
+    dd = "list_distinct" if distinct else ""
     joined = " || ' ' || ".join(f"({w})[i + {j}]" for j in range(n))
     return (
         f"CASE WHEN len({w}) < {n} THEN [] ELSE "
-        f"list_distinct(list_transform(generate_series(1, len({w}) - {n - 1}), "
+        f"{dd}(list_transform(generate_series(1, len({w}) - {n - 1}), "
         f"i -> {joined})) END"
     )
 
@@ -1037,3 +1042,195 @@ def embedding_lsh_neardup(
         .select("doc_a", "doc_b", F.round("_cos_raw", 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------------ decontamination
+
+
+def decontaminate_stats(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word n-gram shingles also occur in the (small) evaluation
+    set.  The standard pretraining hygiene step — flag/drop training
+    documents that leak eval benchmark n-grams.
+
+    Plan shape for a 100 TB corpus: the eval side is a benchmark suite
+    (thousands of documents, ~1e5-1e6 distinct grams), so its distinct
+    shingle hashes are explicitly ``F.broadcast`` — the corpus side
+    streams through one vectorized shingle kernel and a broadcast hash
+    join, then one partial-aggregated shuffle keyed by doc id (one row
+    per doc after map-side combine).  No corpus self-join anywhere.
+
+    Output: ``doc, n_grams, n_hits, contamination, contaminated`` where
+    ``contamination = n_hits / n_grams`` (round 4) and ``contaminated``
+    flags ``n_hits >= threshold``.  Shingle hashing is the same
+    SQL-replicable polynomial as the Jaccard family (SH_MOD space), so
+    the whole output is hash-exact against decontaminate_sql.
+    """
+    sh = shingle_hashes(corpus, text_col, id_col, n)
+    ev = (
+        shingle_hashes(eval_df, text_col, id_col, n)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        sh.join(F.broadcast(ev), "s", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+        )
+        .withColumn(
+            "contamination", F.round(F.col("n_hits") / F.col("n_grams"), 4)
+        )
+        .withColumn(
+            "contaminated", (F.col("n_hits") >= F.lit(threshold)).cast("int")
+        )
+    )
+
+
+def decontaminate_sql(
+    table: str,
+    eval_predicate: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: int = 1,
+) -> str:
+    """DuckDB twin of decontaminate_stats with the eval set expressed as
+    a predicate over the same table (the driver harness has one table;
+    production callers pass a separate eval table on the Spark side)."""
+    sh = shingles_frag(text_col, n, "duck")
+    hf = shingle_hash_frag("s", "duck", SH_MOD)
+    return f"""
+        WITH grams AS (
+            SELECT {id_col} AS doc, {sh} AS sh FROM {table}
+        ), inv AS (
+            SELECT doc, unnest(list_distinct(list_transform(sh,
+                s -> ({hf})))) AS s
+            FROM grams WHERE len(sh) > 0
+        ), egrams AS (
+            SELECT {sh} AS sh FROM {table} WHERE {eval_predicate}
+        ), ev AS (
+            SELECT DISTINCT unnest(list_distinct(list_transform(sh,
+                s -> ({hf})))) AS s
+            FROM egrams WHERE len(sh) > 0
+        )
+        SELECT inv.doc AS doc,
+               count(*) AS n_grams,
+               count(ev.s) AS n_hits,
+               round(count(ev.s) * 1.0 / count(*), 4) AS contamination,
+               CASE WHEN count(ev.s) >= {threshold} THEN 1 ELSE 0
+               END AS contaminated
+        FROM inv LEFT JOIN ev ON inv.s = ev.s
+        GROUP BY inv.doc
+    """
+
+
+# ------------------------------------------------- intra-doc repetition
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition statistics: per document,
+    the total / distinct word n-gram counts and the multiplicity of the
+    most repeated n-gram.  Callers derive the quality-filter fractions
+    (``dup_frac = 1 - n_distinct/n_grams``, ``top_frac =
+    top_count/n_grams``) Spark-side with F.round so HALF_UP matches the
+    SQL oracle.
+
+    Entirely map-side: each document's shingles are produced and
+    aggregated inside one Arrow batch (one poly_hash_batch pass + one
+    lexsort + two reduceat sweeps per batch) — NO shuffle, no per-row
+    Python.  At 100 TB this is a single scan-shaped stage that scales
+    linearly with executors.
+
+    Hash collisions (distinct grams colliding in the 57-bit SH_MOD
+    space) merge identically on the SQL side, which counts by the same
+    polynomial hash.
+    """
+    import pyarrow as pa
+
+    id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
+    pruned = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+
+    def gen(batches):
+        from ._batch import poly_hash_batch
+
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            doc_rep: list = []
+            all_sh: list[str] = []
+            for i, t in enumerate(texts):
+                sh = py_shingles(t, n)
+                all_sh.extend(sh)
+                doc_rep.extend([i] * len(sh))
+            if not all_sh:
+                continue
+            h = poly_hash_batch(all_sh, FP_BASE, SH_MOD)
+            d = np.asarray(doc_rep, dtype=np.int64)
+            order = np.lexsort((h, d))
+            ds, hs = d[order], h[order]
+            # run-lengths of identical (doc, hash) = per-gram counts
+            new_run = np.ones(ds.size, dtype=bool)
+            new_run[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+            run_starts = np.flatnonzero(new_run)
+            run_docs = ds[run_starts]
+            run_lens = np.diff(np.append(run_starts, ds.size))
+            # fold runs per document
+            new_doc = np.ones(run_docs.size, dtype=bool)
+            new_doc[1:] = run_docs[1:] != run_docs[:-1]
+            doc_starts = np.flatnonzero(new_doc)
+            docs_u = run_docs[doc_starts]
+            n_distinct = np.diff(np.append(doc_starts, run_docs.size))
+            n_grams = np.add.reduceat(run_lens, doc_starts)
+            top = np.maximum.reduceat(run_lens, doc_starts)
+            out_ids = batch.column(0).take(pa.array(docs_u, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    out_ids,
+                    pa.array(n_grams.astype(np.int64)),
+                    pa.array(n_distinct.astype(np.int64)),
+                    pa.array(top.astype(np.int64)),
+                ],
+                names=["doc", "n_grams", "n_distinct", "top_count"],
+            )
+
+    return pruned.mapInArrow(
+        gen, f"doc {id_dt}, n_grams long, n_distinct long, top_count long"
+    )
+
+
+def repetition_stats_sql(
+    table: str, text_col: str, id_col: str, n: int = 2
+) -> str:
+    """DuckDB twin of repetition_stats (counts by the identical
+    polynomial hash so collisions merge the same way)."""
+    sh = shingles_frag(text_col, n, "duck", distinct=False)
+    hf = shingle_hash_frag("g", "duck", SH_MOD)
+    return f"""
+        WITH grams AS (
+            SELECT {id_col} AS doc, {sh} AS sh FROM {table}
+            WHERE {text_col} IS NOT NULL
+        ), ex AS (
+            SELECT doc, unnest(list_transform(sh, g -> ({hf}))) AS g
+            FROM grams WHERE len(sh) > 0
+        ), cnt AS (
+            SELECT doc, g, count(*) AS c FROM ex GROUP BY doc, g
+        )
+        SELECT doc,
+               sum(c)::BIGINT AS n_grams,
+               count(*)::BIGINT AS n_distinct,
+               max(c)::BIGINT AS top_count,
+               round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_frac,
+               round(max(c) * 1.0 / sum(c), 4) AS top_frac
+        FROM cnt GROUP BY doc
+    """

@@ -1900,3 +1900,66 @@ def test_write_partitioned_layout_and_pruning(spark, tmp_path):
         write_partitioned(docs, out, [])
     with pytest.raises(ValueError, match="not in DataFrame"):
         write_partitioned(docs, out, ["nope"])
+
+
+# ------------------------------------------------- decontam / repetition
+
+
+def test_repetition_stats_matches_bruteforce(spark):
+    from collections import Counter
+
+    from go_tdigest_spark.operators import repetition_stats
+    from go_tdigest_spark.operators.dedup import py_shingles
+
+    rows = [
+        (0, "a b a b a b a b"),            # heavy 2-gram repetition
+        (1, "one two three four five"),     # all distinct
+        (2, "x"),                           # too short for 2-grams
+        (3, None),                          # null text dropped
+        (4, "go go go go"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc"]: r
+        for r in repetition_stats(df, "text", "doc_id", n=2).collect()
+    }
+    for doc_id, text in rows:
+        if text is None:
+            assert doc_id not in got
+            continue
+        grams = py_shingles(text, 2)
+        if not grams:
+            assert doc_id not in got
+            continue
+        c = Counter(grams)
+        r = got[doc_id]
+        assert r["n_grams"] == sum(c.values())
+        assert r["n_distinct"] == len(c)
+        assert r["top_count"] == max(c.values())
+
+
+def test_decontaminate_stats_semantics_and_plan(spark, docs):
+    from go_tdigest_spark.operators import decontaminate_stats
+
+    eval_df = docs.where(F.col("doc_id").isin(0, 3))
+    out = decontaminate_stats(docs, eval_df, "text", "doc_id", n=2, threshold=1)
+    out.collect()
+    rows = {r["doc"]: r for r in out.collect()}
+    # eval members are fully contaminated by construction
+    for d in (0, 3):
+        assert rows[d]["n_hits"] == rows[d]["n_grams"]
+        assert rows[d]["contamination"] == 1.0
+        assert rows[d]["contaminated"] == 1
+    # exact dups of an eval member are fully contaminated too
+    assert rows[1]["contamination"] == 1.0 and rows[7]["contamination"] == 1.0
+    # disjoint doc has zero hits
+    assert rows[5]["n_hits"] == 0 and rows[5]["contaminated"] == 0
+    # near-dup of eval doc 3 shares most but not all grams
+    assert 0 < rows[4]["n_hits"] < rows[4]["n_grams"]
+    # empty doc produces no shingles and is absent
+    assert 6 not in rows
+    # plan: eval side must be broadcast (tiny benchmark suite vs 100 TB
+    # corpus) and nothing row-wise Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

@@ -434,6 +434,8 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         "td_hourly_events",
         "hll_overlap_users",
         "pack_fragments_docs",
+        "decontam_docs",
+        "repetition_docs",
     ]
     for name in hot:
         df = qs[name](spark, sf)
