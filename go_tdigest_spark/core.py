@@ -68,6 +68,23 @@ def _ksweep(
     # qlimit(q0) = sigmoid(logit(q0) + 4/delta); q0=0 -> 0 (tail singleton)
     efac = math.exp(4.0 / compression)
 
+    # All-singleton fast path: a cluster starting at point i (prefix
+    # weight wf[i-1]) absorbs its successor iff wf[i+1] <= qlimit*n.  If
+    # NO point can absorb its successor, every cluster is a singleton and
+    # the sweep's output IS its input (x clamps to the point's own mean).
+    # This is the common case for small digests (total weight below
+    # ~2*compression) — fine-grained groupings produce thousands of them
+    # per task, and the O(m) vectorized check replaces m sequential
+    # searchsorted calls.  Exact: same comparison the loop performs.
+    wprev_all = np.concatenate(([0.0], wf[: m - 2]))
+    q0_all = wprev_all / n
+    qlim_n = (q0_all * efac) / (1.0 - q0_all + q0_all * efac) * n
+    if np.all(wf[1:] > qlim_n):
+        if counts is None:
+            return means.copy(), np.ones(m, dtype=np.int64)
+        return means.astype(np.float64, copy=True), counts.copy()
+
+    ss = wf.searchsorted
     out_means = np.empty(m, dtype=np.float64)
     out_counts = np.empty(m, dtype=np.int64)
     k = 0
@@ -78,7 +95,7 @@ def _ksweep(
         q0 = wprev_i / n
         qlimit = (q0 * efac) / (1.0 - q0 + q0 * efac)
         # widest j such that all points i..j-1 keep cumweight <= qlimit*n
-        j = int(np.searchsorted(wf, qlimit * n, side="right"))
+        j = int(ss(qlimit * n, side="right"))
         if j <= i:
             j = i + 1
         c = int(wi[j - 1] - wprev_i)

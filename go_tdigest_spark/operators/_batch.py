@@ -40,8 +40,13 @@ def group_codes(batch: pa.RecordBatch, n_by: int):
     combined mixed-radix row code, and resolve each distinct code back to
     its python key tuple (NULL keys supported via the -1 sentinel).
 
-    Returns (combined int64 array | None, uniq_codes, row_counts, keys):
-    ``combined`` is None when ``n_by == 0`` (single implicit group).
+    Returns (combined int64 array | None, uniq_codes, row_counts, keys,
+    row_order): ``combined``/``row_order`` are None when ``n_by == 0``
+    (single implicit group).  ``row_order`` is the STABLE argsort of the
+    codes — kernels pre-sort their value columns with it once and slice
+    contiguous [offset, offset+count) runs per group, instead of an
+    O(groups x rows) boolean mask per group; stability keeps the
+    within-group row order identical to the masked form.
     """
     n = batch.num_rows
     if n_by == 0:
@@ -50,6 +55,7 @@ def group_codes(batch: pa.RecordBatch, n_by: int):
             np.zeros(1, dtype=np.int64),
             np.array([n], dtype=np.int64),
             [()],
+            None,
         )
     combined = np.zeros(n, dtype=np.int64)
     mult = 1
@@ -71,4 +77,4 @@ def group_codes(batch: pa.RecordBatch, n_by: int):
         tuple(batch.column(j)[int(r)].as_py() for j in range(n_by))
         for r in first_rows
     ]
-    return combined, uniq_codes, row_counts, keys
+    return combined, uniq_codes, row_counts, keys, row_order

@@ -109,42 +109,40 @@ def build_partials(
             n = batch.num_rows
             if n == 0:
                 continue
-            combined, uniq_codes, row_counts, keys = group_codes(batch, len(by))
+            combined, uniq_codes, row_counts, keys, row_order = group_codes(
+                batch, len(by)
+            )
 
-            # ---- per-group value extraction.  Arrays: pyarrow filter on
-            # the list column + zero-copy flatten per group (token-level
-            # codes are never materialized).  Scalars: one small argsort
-            # over row codes and slice.  Values keep their native dtype —
-            # the kernel sorts int32 2x cheaper than float64.
+            # ---- per-group value extraction: ONE stable sort of the
+            # value columns by group code per batch, then contiguous
+            # slices per group — O(N log N) total, not O(groups x N)
+            # masking (a 720-group hourly rollup was quadratic here).
+            # Stability keeps within-group row order identical to the
+            # masked form, so digests are bit-identical.  Arrays: pyarrow
+            # take on the list column + zero-copy flatten per group
+            # (token-level codes are never materialized).  Values keep
+            # their native dtype — the digest flush sorts int32 2x
+            # cheaper than float64.
             multi = combined is not None and len(uniq_codes) > 1
-
-            def group_values(g: int):
-                if explode_arrays:
-                    col = batch.column(value_idx)
-                    if multi:
-                        mask = pa.array(combined == uniq_codes[g])
-                        col = col.filter(mask)
-                    v = col.flatten().to_numpy(zero_copy_only=False)
-                    if weight_col:
-                        w_rows = batch.column(weight_idx).to_numpy(
-                            zero_copy_only=False
-                        )
-                        lens = (
-                            pc.list_value_length(batch.column(value_idx))
-                            .fill_null(0)
-                            .to_numpy(zero_copy_only=False)
-                        )
-                        if multi:
-                            m = combined == uniq_codes[g]
-                            w = np.repeat(
-                                w_rows[m].astype(np.int64), lens[m]
-                            )
-                        else:
-                            w = np.repeat(w_rows.astype(np.int64), lens)
-                        return v, w
-                    return v, None
-                v = batch.column(value_idx).to_numpy(zero_copy_only=False)
-                w = (
+            if multi:
+                offsets = np.concatenate(
+                    ([0], np.cumsum(row_counts))
+                ).astype(np.int64)
+            if explode_arrays:
+                if weight_col:
+                    w_rows = batch.column(weight_idx).to_numpy(
+                        zero_copy_only=False
+                    )
+                    lens = (
+                        pc.list_value_length(batch.column(value_idx))
+                        .fill_null(0)
+                        .to_numpy(zero_copy_only=False)
+                    )
+            else:
+                v_all = batch.column(value_idx).to_numpy(
+                    zero_copy_only=False
+                )
+                w_all = (
                     batch.column(weight_idx)
                     .to_numpy(zero_copy_only=False)
                     .astype(np.int64)
@@ -152,10 +150,31 @@ def build_partials(
                     else None
                 )
                 if multi:
-                    m = combined == uniq_codes[g]
-                    v = v[m]
-                    w = w[m] if w is not None else None
-                return v, w
+                    v_all = v_all[row_order]
+                    w_all = w_all[row_order] if w_all is not None else None
+
+            def group_values(g: int):
+                if explode_arrays:
+                    col = batch.column(value_idx)
+                    if multi:
+                        idx = row_order[offsets[g] : offsets[g + 1]]
+                        col = col.take(pa.array(idx, type=pa.int64()))
+                    v = col.flatten().to_numpy(zero_copy_only=False)
+                    if weight_col:
+                        if multi:
+                            w = np.repeat(
+                                w_rows[idx].astype(np.int64), lens[idx]
+                            )
+                        else:
+                            w = np.repeat(w_rows.astype(np.int64), lens)
+                        return v, w
+                    return v, None
+                if multi:
+                    sl = slice(offsets[g], offsets[g + 1])
+                    return v_all[sl], (
+                        w_all[sl] if w_all is not None else None
+                    )
+                return v_all, w_all
 
             for g, (key, n_rows_g) in enumerate(zip(keys, row_counts)):
                 acc = accs.get(key)

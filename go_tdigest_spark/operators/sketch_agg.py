@@ -102,7 +102,9 @@ def _generic_partials(
             n = batch.num_rows
             if n == 0:
                 continue
-            combined, uniq, counts, keys = group_codes(batch, len(by))
+            combined, uniq, counts, keys, row_order = group_codes(
+                batch, len(by)
+            )
             hs = [
                 batch.column(len(by) + i).to_numpy(zero_copy_only=False)
                 for i in range(n_h)
@@ -114,15 +116,25 @@ def _generic_partials(
                 if weight_col
                 else None
             )
+            # one stable sort per batch + contiguous slices per group
+            # (not an O(groups x rows) boolean mask per group)
+            multi = combined is not None and len(uniq) > 1
+            if multi:
+                hs = [h[row_order] for h in hs]
+                w = w[row_order] if w is not None else None
+                offsets = np.concatenate(([0], np.cumsum(counts))).astype(
+                    np.int64
+                )
             for g, (key, cnt) in enumerate(zip(keys, counts)):
                 acc = accs.get(key)
                 if acc is None:
                     acc = [make_sketch(), 0]
                     accs[key] = acc
-                if combined is None or len(uniq) == 1:
-                    sel = slice(None)
-                else:
-                    sel = combined == uniq[g]
+                sel = (
+                    slice(offsets[g], offsets[g + 1])
+                    if multi
+                    else slice(None)
+                )
                 cols = [h[sel] for h in hs]
                 if w is not None:
                     cols.append(w[sel])

@@ -676,7 +676,9 @@ def test_stream_merge_tree_sized_by_partial_count(spark, tmp_path):
     # 3 batches x 16 partitions x up-to-3 groups of partials arrive in a
     # couple of scan partitions; count-based sizing must still insert
     # salted levels ahead of the final merge
-    assert plan.count("FlatMapGroupsInPandas") >= 3
+    from test_spark_agg import _n_merge_levels
+
+    assert _n_merge_levels(plan) >= 3
 
     out = merged.toPandas()
     total = li.count()

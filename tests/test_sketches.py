@@ -273,7 +273,8 @@ def test_sketch_tree_merge_equals_flat(spark):
         tree = _merge_stage(partials, [], decode, fanin=8)
         # 1000 -> 125 -> 16 -> 2 -> final: three salted levels + final
         plan = tree._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("FlatMapGroupsInPandas") == 4, kind
+        from test_spark_agg import _n_merge_levels
+        assert _n_merge_levels(plan) == 4, kind
         flat = _merge_stage(partials, [], decode, fanin=None)
         t = tree.collect()[0]
         f = flat.collect()[0]
@@ -703,7 +704,8 @@ def test_mg_guarantees_survive_salted_tree(spark):
 
     merged = _merge_stage(partials, [], MisraGries.from_bytes, fanin=8)
     plan = merged._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FlatMapGroupsInPandas") >= 3  # >=2 salted levels
+    from test_spark_agg import _n_merge_levels
+    assert _n_merge_levels(plan) >= 3  # >=2 salted levels
     row = merged.collect()[0]
     mg = MisraGries.from_bytes(bytes(row["sketch"]))
     assert mg.total == data.size and row["n_rows"] == data.size
