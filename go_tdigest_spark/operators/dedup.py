@@ -515,6 +515,7 @@ def lsh_pairs_from_sigs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Candidate-pair stage over an existing ``(doc, sig)`` signature
     table — the second half of ``minhash_lsh_pairs``, split out so
@@ -527,7 +528,16 @@ def lsh_pairs_from_sigs(
     degenerate silently — out-of-range ``slice`` yields empty band keys
     shared by EVERY doc (a near-cross-join) and NULL elements undercount
     the agreement estimate.
-    """
+
+    ``persist_sigs``: the banded self-join evaluates the signature
+    lineage on BOTH sides (the map-only kernel has no exchange for
+    Spark's reuse machinery to latch onto), so by default the tiny
+    (doc, 16-int) table is persisted and the signing pass runs once —
+    the same posture as ``ngram_jaccard_pairs``'s ``persist_index``.
+    MEMORY_AND_DISK, never explicitly released; disable when composing
+    into a job that manages its own caching."""
+    if persist_sigs:
+        sigs = sigs.persist()
     rows = n_hashes // bands
     sigs = sigs.withColumn(
         "sig",

@@ -173,6 +173,11 @@ def read_stream_lsh_pairs(
     latest = sigs.groupBy("doc").agg(
         F.max_by("sig", "batch_id").alias("sig")
     )
+    # persist_sigs=False: each call builds a fresh snapshot DataFrame, so
+    # a persist here would leak one cached table per trigger; the max_by
+    # groupBy already ends in an Exchange, which Spark's reuse machinery
+    # shares across the self-join sides.
     return lsh_pairs_from_sigs(
-        latest, n_hashes, bands, threshold, max_bucket_size
+        latest, n_hashes, bands, threshold, max_bucket_size,
+        persist_sigs=False,
     )
