@@ -1965,3 +1965,40 @@ def test_decontaminate_stats_semantics_and_plan(spark, docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_streaming_repetition_matches_batch(spark, tmp_path):
+    # repetition_stats is a single map-side Arrow kernel (no shuffle, no
+    # state), so it composes with readStream as-is: cumulative stream
+    # output equals the batch pass over the same rows
+    from go_tdigest_spark.operators import repetition_stats
+
+    src = str(tmp_path / "rep_src")
+    ckpt = str(tmp_path / "rep_ckpt")
+    docs = table(spark, SF_TINY, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        repetition_stats(stream, "text", "doc_id", n=2)
+        .writeStream.format("memory")
+        .queryName("rep_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc"]: (r["n_grams"], r["n_distinct"], r["top_count"])
+        for r in spark.sql("SELECT * FROM rep_stream").collect()
+    }
+    expect = {
+        r["doc"]: (r["n_grams"], r["n_distinct"], r["top_count"])
+        for r in repetition_stats(docs, "text", "doc_id", n=2).collect()
+    }
+    assert got == expect and len(got) > 0
