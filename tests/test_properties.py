@@ -214,3 +214,81 @@ def test_kll_merge_matches_whole_within_bound(values, parts):
         # k=64 at <=400 points: generous but real rank bound either way
         assert rank_err(merged.quantile(q), q) <= 0.25
         assert rank_err(whole.quantile(q), q) <= 0.25
+
+
+def _ksweep_reference(means, counts, compression):
+    """The sweep loop with no fast path — the pre-optimization form,
+    kept as the oracle for the vectorized all-singleton shortcut."""
+    import math
+
+    m = means.size
+    if m <= 1:
+        if counts is None:
+            return means.copy(), np.ones(m, dtype=np.int64)
+        return means.copy(), counts.copy()
+    if counts is None:
+        wi = np.arange(1, m + 1, dtype=np.int64)
+        wx = np.cumsum(means)
+    else:
+        wi = np.cumsum(counts)
+        wx = np.cumsum(means * counts.astype(np.float64))
+    wf = wi.astype(np.float64)
+    n = wf[-1]
+    efac = math.exp(4.0 / compression)
+    out_means = np.empty(m, dtype=np.float64)
+    out_counts = np.empty(m, dtype=np.int64)
+    k = 0
+    i = 0
+    wprev_i = 0
+    wxprev = 0.0
+    while i < m:
+        q0 = wprev_i / n
+        qlimit = (q0 * efac) / (1.0 - q0 + q0 * efac)
+        j = int(np.searchsorted(wf, qlimit * n, side="right"))
+        if j <= i:
+            j = i + 1
+        c = int(wi[j - 1] - wprev_i)
+        x = (wx[j - 1] - wxprev) / float(c)
+        lo, hi = means[i], means[j - 1]
+        if x < lo:
+            x = lo
+        elif x > hi:
+            x = hi
+        out_means[k] = x
+        out_counts[k] = c
+        k += 1
+        wprev_i = int(wi[j - 1])
+        wxprev = wx[j - 1]
+        i = j
+    return out_means[:k], out_counts[:k]
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=600,
+    ),
+    weights=st.one_of(
+        st.none(),
+        st.lists(st.integers(1, 50), min_size=1, max_size=600),
+    ),
+    compression=st.sampled_from([20.0, 100.0, 300.0]),
+)
+@settings(max_examples=150, deadline=None)
+def test_ksweep_fast_path_matches_loop(values, weights, compression):
+    # sizes straddle the all-singleton boundary (total weight ~ 2*delta)
+    # in both directions, so BOTH branches are exercised and must agree
+    # bit-for-bit
+    from go_tdigest_spark.core import _ksweep
+
+    means = np.sort(np.asarray(values, dtype=np.float64))
+    if weights is None:
+        counts = None
+    else:
+        counts = np.resize(np.asarray(weights, dtype=np.int64), means.size)
+    got_m, got_c = _ksweep(means, counts, compression)
+    want_m, want_c = _ksweep_reference(means, counts, compression)
+    assert got_c.dtype == want_c.dtype and got_m.dtype == want_m.dtype
+    np.testing.assert_array_equal(got_m, want_m)
+    np.testing.assert_array_equal(got_c, want_c)
