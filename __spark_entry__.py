@@ -520,10 +520,17 @@ def _q_skew_join_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc salient terms: 3 hash aggs + term-key join + top-k window,
-    # linear-idf scoring for exact cross-engine arithmetic (terms.py)
+    # linear-idf scoring for exact cross-engine arithmetic (terms.py).
+    # doc_id is unique per row in this table, so N comes from the
+    # parquet footer (n_docs hint contract) — no count() action
+    import os
+
+    import pyarrow.parquet as pq
+
     docs = table(spark, sf_dir, "documents")
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     return terms.tfidf_topk_terms(
-        docs, "text", "doc_id", k=3, min_df=2, max_df_ratio=0.79
+        docs, "text", "doc_id", k=3, min_df=2, max_df_ratio=0.79, n_docs=n
     )
 
 
