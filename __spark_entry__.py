@@ -235,6 +235,14 @@ def _q_td_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_td_centroid_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ForEachCentroid surface (td_centroids), read through its EXACT
+    # invariants so the whole enumerate path is oracle-hashable:
+    # sum(centroid weights) == count (weight conservation under merge,
+    # reference tdigest.go:218-220), and min/max centroid mean == exact
+    # data min/max (tail centroids are singletons — core.py k-function
+    # singularities at q=0,1).  Centroid COUNT is construction-dependent
+    # and stays out of the hash (internal-consistency checks live in
+    # tests/test_core.py / test_properties.py).
     from go_tdigest_spark.functions import td_centroids
 
     li = table(spark, sf_dir, "lineitem")
@@ -245,8 +253,7 @@ def _q_td_centroid_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(td_centroids("digest")).alias("c"),
     )
     return exploded.groupBy("l_returnflag", "total_weight").agg(
-        F.count(F.lit(1)).alias("n_centroids"),
-        F.sum("c.count").alias("centroid_weight"),
+        F.sum("c.count").cast("long").alias("centroid_weight"),
         F.min("c.mean").alias("min_mean"),
         F.max("c.mean").alias("max_mean"),
     )
@@ -512,9 +519,13 @@ def _q_skew_join_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
     joined = skew.salted_join(ev, dim, ["user_id"], n_salts=8)
+    # explicit cast to ONE unambiguous type on BOTH engines: DuckDB
+    # sum(BIGINT) returns HUGEINT (int128) while Spark returns LONG —
+    # the r3 driver hasher canonicalized them differently (the lone
+    # hash-fail row in CORRECTNESS_r03; VERDICT r3 item 2)
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("user_total").alias("sum_user_totals"),
+        F.sum("user_total").cast("long").alias("sum_user_totals"),
     )
 
 
@@ -1124,8 +1135,18 @@ def oracle_sql() -> dict[str, str]:
                          / sum(floor(l_quantity)), 4) AS w_mean
             FROM lineitem GROUP BY l_returnflag
         """,
-        # td_centroid_lineage: centroid layout is construction-dependent —
-        # rows-only; internal consistency asserted in tests
+        # td_centroid_lineage: read through EXACT centroid invariants —
+        # sum(weights) == count (weight conservation under merge) and the
+        # singleton tail centroids' means == data min/max; the
+        # construction-dependent centroid COUNT stays out of the hash
+        "td_centroid_lineage": """
+            SELECT l_returnflag,
+                   count(l_extendedprice) AS total_weight,
+                   count(l_extendedprice) AS centroid_weight,
+                   min(l_extendedprice) AS min_mean,
+                   max(l_extendedprice) AS max_mean
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "td_embedding_components": """
             SELECT label,
                    count(c) AS n_components,
