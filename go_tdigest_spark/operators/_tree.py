@@ -72,14 +72,58 @@ def tree_merge(
         fine-grained grouping (hourly windows, per-user keys) produces
         thousands of tiny groups.  Per-group row order stays shuffle
         arrival order either way (merge associativity makes it moot).
-        """
-        n_shuffle = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        dist = df.repartition(n_shuffle, *[F.col(c) for c in group_cols])
 
-        def run(pdfs):
-            chunks = list(pdfs)
+        Exact-key discipline (advisor r3, medium): a long key column
+        with ANY null in a partition arrives from Arrow->pandas as lossy
+        float64 (the documented round-2 pandas trap), so distinct int64
+        keys beyond 2^53 could collide — silently merging two groups —
+        and the merged row's key VALUE itself could come back corrupted.
+        Two measures: (1) the pandas-side split groups on a JVM-computed
+        JSON encoding of the key tuple (injective over distinct key
+        tuples, rendered from exact values), never on pandas key
+        columns; (2) the stage runs as mapInArrow and key columns are
+        handed to ``fn`` as exact python objects (object dtype via
+        ``to_pylist``), so ``pdf[key].iloc[0]`` in every merge_fn reads
+        the true value.  Non-key columns (sketch bytes, counts —NOT
+        NULL by construction) keep the plain pandas conversion.
+        """
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        try:
+            n_shuffle = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            # platforms that set a non-numeric value (e.g. "auto" under
+            # vendor AQE builds) — fall back to the cluster default
+            n_shuffle = df.sparkSession.sparkContext.defaultParallelism
+        gkey = "_gkey"
+        dist = df.withColumn(
+            gkey, F.to_json(F.struct(*[F.col(c) for c in group_cols]))
+        ).repartition(n_shuffle, *[F.col(c) for c in group_cols])
+        in_fields = dist.schema.fields
+        key_set = set(group_cols)
+        arrow_out = pa.schema(
+            [
+                pa.field(f.name, to_arrow_type(f.dataType))
+                for f in out_schema.fields
+            ]
+        )
+
+        def run(batches):
+            chunks = []
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                cols = {}
+                for i, f in enumerate(in_fields):
+                    col = batch.column(i)
+                    if f.name in key_set:
+                        cols[f.name] = pd.Series(col.to_pylist(), dtype=object)
+                    else:
+                        cols[f.name] = col.to_pandas()
+                chunks.append(pd.DataFrame(cols))
             if not chunks:
                 return
             whole = (
@@ -88,15 +132,16 @@ def tree_merge(
                 else pd.concat(chunks, ignore_index=True)
             )
             outs = [
-                fn(grp)
-                for _, grp in whole.groupby(
-                    group_cols, dropna=False, sort=False
-                )
+                fn(grp.drop(columns=[gkey]))
+                for _, grp in whole.groupby(gkey, dropna=False, sort=False)
             ]
             if outs:
-                yield pd.concat(outs, ignore_index=True)
+                out_pdf = pd.concat(outs, ignore_index=True)
+                yield pa.RecordBatch.from_pandas(
+                    out_pdf, schema=arrow_out, preserve_index=False
+                )
 
-        return dist.mapInPandas(run, out_schema)
+        return dist.mapInArrow(run, out_schema)
 
     if not fanin:
         n_parts = 0

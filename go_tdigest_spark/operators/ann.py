@@ -288,19 +288,36 @@ def lsh_ann_topk(
     n_planes: int = 8,
     dim: int = 64,
     multiprobe: int = 1,
+    probe_all: bool = False,
 ) -> DataFrame:
     """Bucketed ANN: equijoin on the LSH bucket, exact cosine re-rank of
     candidates.  ``multiprobe=1`` also probes every bucket one bit-flip
     away from the query's (n_planes extra probes/query — the standard
     recall fix that costs nothing on the corpus side).  Recall < 1 by
-    construction; tests pin it against cosine_topk."""
+    construction; tests pin it against cosine_topk.
+
+    ``probe_all=True`` probes every one of the 2**n_planes buckets
+    (requires n_planes <= 12): the exhaustive-probe configuration whose
+    result is EXACTLY the brute-force top-k, through the same
+    feature -> bucket-equijoin -> re-rank plan the partial-probe mode
+    runs.  Same role as IVF's nprobe=n_cells: an oracle-hashable mode
+    that pins the bucketed plumbing end to end, while partial-probe
+    recall is pinned separately in tests."""
     corpus = lsh_features(df, vec_col, id_col, n_planes, dim)
     # multiprobe via a LITERAL xor-mask array + explode (no lambda, so
     # nothing interpreted) instead of a transform() HOF: mask 0 is the
     # query's own bucket, mask 1<<p flips bit p
-    masks = [F.lit(0)] + (
-        [F.lit(1 << p) for p in range(n_planes)] if multiprobe else []
-    )
+    if probe_all:
+        if n_planes > 12:
+            raise ValueError(
+                "probe_all explodes 2**n_planes probe rows per query; "
+                f"n_planes={n_planes} > 12 is not a sane exhaustive probe"
+            )
+        masks = [F.lit(m) for m in range(1 << n_planes)]
+    else:
+        masks = [F.lit(0)] + (
+            [F.lit(1 << p) for p in range(n_planes)] if multiprobe else []
+        )
     queries = (
         lsh_features(
             df.where(F.col(id_col).isin(query_ids)), vec_col, id_col, n_planes, dim

@@ -97,11 +97,16 @@ def shingles_frag(col: str, n: int, dialect: str, distinct: bool = True) -> str:
             return f"array_distinct({w})" if distinct else w
         dd = "array_distinct" if distinct else ""
         joined = " || ' ' || ".join(f"element_at(_w, i + {j})" for j in range(n))
-        return (
-            f"CASE WHEN size({w}) < {n} THEN array() ELSE "
-            f"{dd}(transform(sequence(1, size({w}) - {n - 1}), "
-            f"i -> {joined.replace('_w', w)})) END"
+        inner = (
+            f"CASE WHEN size(_w) < {n} THEN array() ELSE "
+            f"{dd}(transform(sequence(1, size(_w) - {n - 1}), "
+            f"i -> {joined})) END"
         )
+        # bind the words array ONCE as lambda var _w (single-element
+        # array + transform): inlining it substituted the full
+        # split(lower(...)) expression n+2 times per row, and Catalyst
+        # does not reliably CSE inside lambda bodies (VERDICT r3 #3)
+        return f"element_at(transform(array({w}), _w -> {inner}), 1)"
     if n == 1:
         return f"list_distinct({w})" if distinct else w
     dd = "list_distinct" if distinct else ""
@@ -534,10 +539,17 @@ def lsh_pairs_from_sigs(
     Spark's reuse machinery to latch onto), so by default the tiny
     (doc, 16-int) table is persisted and the signing pass runs once —
     the same posture as ``ngram_jaccard_pairs``'s ``persist_index``.
-    MEMORY_AND_DISK, never explicitly released; disable when composing
-    into a job that manages its own caching."""
+    MEMORY_AND_DISK.  The handle is exposed on the returned DataFrame
+    as ``result.persisted_sigs`` so long-lived sessions looping over
+    corpora can release it after their consuming action
+    (``result.persisted_sigs.unpersist()``); otherwise each call leaves
+    one cached snapshot behind until ``spark.catalog.clearCache()`` or
+    session end.  Disable when composing into a job that manages its
+    own caching (the streaming readers do)."""
+    persisted = None
     if persist_sigs:
         sigs = sigs.persist()
+        persisted = sigs
     rows = n_hashes // bands
     sigs = sigs.withColumn(
         "sig",
@@ -584,7 +596,7 @@ def lsh_pairs_from_sigs(
                 lambda v: v,
             )
         )
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -600,6 +612,9 @@ def lsh_pairs_from_sigs(
         .groupBy("doc_a", "doc_b")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
+    # cache-release handle (see docstring); None when persist_sigs=False
+    out.persisted_sigs = persisted
+    return out
 
 
 def minhash_lsh_pairs_sql(

@@ -65,6 +65,30 @@ def table(
     return read_table(spark, os.path.join(sf_dir, f"{name}.{fmt}"), fmt=fmt)
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact row count from parquet FOOTERS — O(files), no Spark action,
+    no data pages read.  Handles a single file, a directory of part
+    files (recursively), or a glob-free dataset root; raises
+    FileNotFoundError when no parquet file is found rather than
+    returning a silent 0.  This is the generalized "n_docs hint"
+    (advisor r3: the single-file ``pq.read_metadata`` shortcut breaks on
+    a multi-file/partitioned dataset)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return pq.read_metadata(path).num_rows
+    total = 0
+    found = False
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+                found = True
+    if not found:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    return total
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict:
     """Load tables and register them as temp views (idempotent)."""
     out = {}

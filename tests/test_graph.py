@@ -62,10 +62,35 @@ def test_null_edges_dropped_and_empty_input(spark):
 
 
 def test_nonconvergence_is_loud(spark):
-    edges = [(f"d{i}", f"d{i+1}") for i in range(6)]  # diameter 6
+    # large/small-star needs a few rounds on a long chain; a budget of 1
+    # cannot finish a 64-node path, and the failure must be loud, never
+    # a partially-converged labeling
+    edges = [(f"d{i:03d}", f"d{i+1:03d}") for i in range(63)]
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iters=2)
+        connected_components(df, max_iters=1)
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """The scale property that motivated the large/small-star rewrite
+    (VERDICT r3): a 200-node path has diameter 199 — min-label
+    propagation needed 199 rounds (the old default budget of 25 raised
+    RuntimeError); star-rewiring converges in O(log n) rounds, well
+    inside a budget of 10."""
+    n = 200
+    edges = [(f"d{i:03d}", f"d{i+1:03d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {tuple(r) for r in connected_components(df, max_iters=10).collect()}
+    assert got == {(f"d{i:03d}", "d000") for i in range(n)}
+
+
+def test_self_loop_only_node_is_singleton(spark):
+    # a node whose only pair is (s, s) still gets a singleton label
+    df = spark.createDataFrame(
+        [("s", "s"), ("a", "b")], ["doc_a", "doc_b"]
+    )
+    got = {tuple(r) for r in connected_components(df).collect()}
+    assert got == {("s", "s"), ("a", "a"), ("b", "a")}
 
 
 def test_dedup_clusters_shape(spark):
@@ -102,9 +127,9 @@ def test_integer_node_ids(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
 
 
-def test_exactly_max_iters_diameter_converges(spark):
-    # needs exactly max_iters improvement rounds: the confirming quiet
-    # round must not count against the budget (review fix)
+def test_tight_round_budget_still_converges(spark):
+    # a diameter-5 path needs only ~3 star rounds; a tight budget of 5
+    # (formerly exactly the diameter) converges with room to spare
     edges = [(f"d{i}", f"d{i+1}") for i in range(5)]  # diameter 5
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {tuple(r) for r in connected_components(df, max_iters=5).collect()}

@@ -635,8 +635,7 @@ def test_text_nulls_consistent_with_oracle_contract(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     feats = T.text_features(df, "text", "doc_id", extra_cols=("source",))
     assert feats.count() == 2  # NULL text excluded
-    for name in ("text_stats", "text_summary"):
-        assert "text IS NOT NULL" in entry.oracle_sql()[name]
+    assert "text IS NOT NULL" in entry.oracle_sql()["text_stats"]
 
     with pytest.raises(ValueError, match="collide"):
         T.text_features(df, "text", "doc_id", extra_cols=("fingerprint",))

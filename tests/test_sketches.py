@@ -458,56 +458,80 @@ def test_kll_agg_nan_and_cms_gate_case_insensitive(spark):
 
 
 def test_driver_sketch_queries_bounds_gated(spark):
-    """hll_distinct_users / cms_supplier_freq / bloom_membership are
-    rows-only in the driver (estimates can't hash-match) — this is their
-    affirmative evidence: the driver's own callables checked against
-    exact answers at the driver's sf, within each sketch's bound."""
+    """The converted hll_distinct_users / hll_overlap_users /
+    cms_supplier_freq / bloom_membership driver queries carry their
+    bound checks in-result (ok booleans hashed against TRUE oracles) —
+    assert the booleans really are all True at the driver's sf, and
+    independently re-derive the HLL and CMS estimates against DuckDB
+    exact answers so inverted in-query bound logic can't pass
+    silently."""
     import sys, os
 
     import duckdb
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
+    from go_tdigest_spark.operators import cms_agg, cms_point_query, hll_agg, hll_estimate
 
     sf = "/root/testdata/sf0.01"
     qs = entry.queries()
 
-    # HLL: p=12 -> relative error ~1.04/sqrt(4096) ~ 1.6%; allow 5%
-    got = qs["hll_distinct_users"](spark, sf).toPandas().set_index("event_type")
+    got = qs["hll_distinct_users"](spark, sf).toPandas()
+    assert len(got) > 0 and got["est_ok"].all()
+    got = qs["hll_overlap_users"](spark, sf).toPandas()
+    assert len(got) == 1
+    assert got["union_ok"].all() and got["common_ok"].all()
+    got = qs["cms_supplier_freq"](spark, sf).toPandas()
+    assert len(got) == 10 and got["over_ok"].all()
+    got = qs["bloom_membership"](spark, sf).toPandas()
+    assert len(got) > 0 and got["fp_ok"].all()
+    # no false negatives: present-key hits == exact distinct (already
+    # hash-gated, re-asserted here for local signal)
+    truth = duckdb.sql(
+        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS m "
+        f"FROM read_parquet('{sf}/orders.parquet') "
+        "WHERE o_custkey < 200 GROUP BY 1"
+    ).fetchdf().set_index("o_orderstatus")["m"]
+    for st, row in got.set_index("o_orderstatus").iterrows():
+        assert row["present_hits"] == truth[st]
+
+    # independent HLL re-derivation: p=12 -> rel err ~1.6%; allow 5%
+    ev = table(spark, sf, "events")
+    est = (
+        hll_agg(ev, ["user_id"], by=["event_type"])
+        .select("event_type", hll_estimate("sketch").alias("est"))
+        .toPandas()
+        .set_index("event_type")["est"]
+    )
     truth = duckdb.sql(
         "SELECT event_type, count(DISTINCT user_id) AS d "
         f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
     ).fetchdf().set_index("event_type")["d"]
-    for et, row in got.iterrows():
-        assert abs(row["approx_distinct_users"] - truth[et]) / truth[et] <= 0.05
+    for et, e in est.items():
+        assert abs(e - truth[et]) / truth[et] <= 0.05
 
-    # CMS: overcount-only, bounded by eps*total with eps = e/w
-    got = qs["cms_supplier_freq"](spark, sf).toPandas().set_index("l_suppkey")
+    # independent CMS re-derivation: overcount-only, <= exact + (e/w)*N
+    li = table(spark, sf, "lineitem")
+    sk = cms_agg(li, ["l_suppkey"], by=[], d=5, w=4096)
+    probes = li.select("l_suppkey").distinct().orderBy("l_suppkey").limit(10)
+    est = (
+        sk.crossJoin(F.broadcast(probes))
+        .select(
+            "l_suppkey",
+            cms_point_query("sketch", F.xxhash64("l_suppkey")).alias("est"),
+        )
+        .toPandas()
+        .set_index("l_suppkey")["est"]
+    )
     freq = duckdb.sql(
         "SELECT l_suppkey, count(*) AS f "
         f"FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1"
     ).fetchdf().set_index("l_suppkey")["f"]
     total = int(freq.sum())
-    for sk, row in got.iterrows():
-        exact = int(freq[sk])
-        assert row["approx_freq"] >= exact  # never undercounts
-        assert row["approx_freq"] <= exact + (np.e / 4096) * total
-
-    # Bloom: no false negatives — every probed custkey that truly has an
-    # order in the status group must report membership
-    got = qs["bloom_membership"](spark, sf).toPandas().set_index("o_orderstatus")
-    probed = duckdb.sql(
-        f"SELECT c_custkey FROM read_parquet('{sf}/customer.parquet') "
-        "ORDER BY c_custkey LIMIT 100"
-    ).fetchdf()["c_custkey"]
-    truth = duckdb.sql(
-        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS m "
-        f"FROM read_parquet('{sf}/orders.parquet') "
-        f"WHERE o_custkey IN ({','.join(map(str, probed))}) GROUP BY 1"
-    ).fetchdf().set_index("o_orderstatus")["m"]
-    for st, row in got.iterrows():
-        assert row["approx_members"] >= truth[st]  # no false negatives
-        assert row["approx_members"] <= 100  # sane upper bound
+    for skey, e in est.items():
+        exact = int(freq[skey])
+        assert e >= exact  # never undercounts
+        assert e <= exact + (np.e / 4096) * total
 
 
 def test_sketch_sql_function_registration(spark):

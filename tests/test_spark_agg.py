@@ -32,11 +32,12 @@ from test_core import oracle_quantile
 
 def _n_merge_levels(plan: str) -> int:
     """Count tree-merge stages in an executed-plan string: keyed/salted
-    levels run as MapInPandas (repartition + partition-wise merge), the
-    global final level as FlatMapGroupsInPandas.  ("MapInPandas" is not
-    a substring of "FlatMapGroupsInPandas", so the counts are disjoint.)
-    """
-    return plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas")
+    levels run as MapInArrow over the tree's ``run`` closure
+    (repartition + partition-wise merge with exact-key discipline,
+    _tree.py grouped_merge), the global final level as
+    FlatMapGroupsInPandas.  ``MapInArrow run(`` distinguishes merge
+    levels from the partial BUILDER's ``MapInArrow gen(`` nodes."""
+    return plan.count("MapInArrow run(") + plan.count("FlatMapGroupsInPandas")
 
 
 @pytest.fixture(scope="module")
@@ -348,34 +349,129 @@ def test_salted_merge_bounds_fanin_under_skew(spark):
         merge_partials(partials, ["k"], fanin=1)
 
 
-def test_driver_rows_only_queries_bounds_gated(spark):
-    """td_quantiles_lineitem / td_cdf_events can't hash-match an exact
-    oracle (sketch estimates) — this is their affirmative evidence: the
-    driver's own callables, checked against DuckDB's exact
-    quantile_cont / rank-CDF within the t-digest bound at the driver's
-    sf.  Rank-space eps 0.015 mirrors the reference's published bound
-    (~1/compression mid-range, tighter at tails)."""
+def test_grouped_merge_exact_keys_beyond_2_53_with_nulls(spark):
+    """Advisor r3 (medium): the merge stage's pandas-side split must
+    group on EXACT key values.  A long group column containing ANY null
+    arrives in pandas as lossy float64, where 2^53 and 2^53+1 collide —
+    grouping on the pandas column would silently merge those two groups'
+    digests.  The JVM-side JSON key encoding keeps them distinct, and
+    the NULL group stays its own group (not folded with NaN-keyed
+    rows)."""
+    base = 1 << 53
+    rows = (
+        [(base, float(i)) for i in range(10)]
+        + [(base + 1, float(100 + i)) for i in range(10)]
+        + [(None, float(200 + i)) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k long, v double").repartition(8)
+    merged = tdigest_agg(df, "v", by=["k"], fanin=2)
+    out = {r["k"]: r for r in merged.collect()}
+    assert set(out) == {base, base + 1, None}
+    assert out[base]["total_weight"] == 10
+    assert out[base + 1]["total_weight"] == 10
+    assert out[None]["total_weight"] == 10
+    d_lo = serde.decode(bytes(out[base]["digest"]))
+    d_hi = serde.decode(bytes(out[base + 1]["digest"]))
+    assert d_lo.quantile(1.0) == 9.0
+    assert d_hi.quantile(0.0) == 100.0
+
+
+def test_parquet_row_count_single_file_and_directory(tmp_path):
+    """sources.parquet_row_count (the generalized n_docs hint): exact on
+    a single file, sums footers across a multi-file dataset directory,
+    and refuses an empty directory loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from go_tdigest_spark.sources import parquet_row_count
+
+    t1 = pa.table({"x": list(range(7))})
+    t2 = pa.table({"x": list(range(5))})
+    single = tmp_path / "one.parquet"
+    pq.write_table(t1, single)
+    assert parquet_row_count(str(single)) == 7
+
+    ds = tmp_path / "ds"
+    (ds / "sub").mkdir(parents=True)
+    pq.write_table(t1, ds / "part-0.parquet")
+    pq.write_table(t2, ds / "sub" / "part-1.parquet")
+    (ds / "_SUCCESS").write_text("")
+    assert parquet_row_count(str(ds)) == 12
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError):
+        parquet_row_count(str(empty))
+
+
+def test_driver_estimate_queries_bounds_gated(spark):
+    """The converted td_quantiles_lineitem / td_cdf_events driver
+    queries carry their bound checks in-result (ok_* booleans hashed
+    against TRUE oracles) — this test (a) asserts those booleans really
+    are all True at the driver's sf, and (b) independently re-derives
+    the underlying estimates and re-checks them against DuckDB's exact
+    quantile_cont / rank-CDF, so a bug that inverted the in-query bound
+    logic can't pass silently.  Rank-space eps 0.015 mirrors the
+    reference's published bound (~1/compression mid-range, tighter at
+    tails)."""
     import duckdb
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
+    from go_tdigest_spark.functions import td_cdf, td_quantile, td_trimmed_mean
+    from go_tdigest_spark.operators import tdigest_agg
 
     sf = "/root/testdata/sf0.01"
     qs = entry.queries()
 
-    got = qs["td_quantiles_lineitem"](spark, sf).toPandas().set_index("l_returnflag")
+    # (a) the driver queries' in-result bound booleans hold
+    got = qs["td_quantiles_lineitem"](spark, sf).toPandas()
+    assert len(got) > 0
+    for col in ("ok_p50", "ok_p95", "ok_p99"):
+        assert got[col].all(), col
+    gotc = qs["td_cdf_events"](spark, sf).toPandas()
+    assert len(gotc) > 0
+    for col in ("ok_cdf10", "ok_cdf100", "ok_iqm"):
+        assert gotc[col].all(), col
+
+    # (b) independent re-derivation of the same estimates, checked
+    # against DuckDB exactly as the pre-conversion test did
+    li = table(spark, sf, "lineitem")
+    est = (
+        tdigest_agg(li, "l_extendedprice", by=["l_returnflag"])
+        .select(
+            "l_returnflag",
+            td_quantile("digest", 0.5).alias("p50"),
+            td_quantile("digest", 0.95).alias("p95"),
+            td_quantile("digest", 0.99).alias("p99"),
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+    )
     vals = duckdb.sql(
         "SELECT l_returnflag, list(l_extendedprice ORDER BY l_extendedprice) v "
         f"FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1"
     ).fetchdf().set_index("l_returnflag")
-    for flag, row in got.iterrows():
+    for flag, row in est.iterrows():
         s = np.asarray(vals.loc[flag]["v"], dtype=float)
         for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
             rank = np.searchsorted(s, row[col]) / len(s)
             assert abs(rank - q) <= 0.015, (flag, col, rank)
 
-    got = qs["td_cdf_events"](spark, sf).toPandas().set_index("event_type")
+    ev = table(spark, sf, "events")
+    estc = (
+        tdigest_agg(ev, "value", by=["event_type"])
+        .select(
+            "event_type",
+            td_cdf("digest", 10.0).alias("cdf_10"),
+            td_cdf("digest", 100.0).alias("cdf_100"),
+            td_trimmed_mean("digest", 0.25, 0.75).alias("iqm"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
     truth = duckdb.sql(
         "SELECT event_type, "
         "avg(CASE WHEN value <= 10 THEN 1.0 ELSE 0.0 END) AS cdf_10, "
@@ -383,7 +479,7 @@ def test_driver_rows_only_queries_bounds_gated(spark):
         f"FROM read_parquet('{sf}/events.parquet') "
         "WHERE value IS NOT NULL GROUP BY 1"
     ).fetchdf().set_index("event_type")
-    for et, row in got.iterrows():
+    for et, row in estc.iterrows():
         t = truth.loc[et]
         assert abs(row["cdf_10"] - t["cdf_10"]) <= 0.015
         assert abs(row["cdf_100"] - t["cdf_100"]) <= 0.015
@@ -393,7 +489,7 @@ def test_driver_rows_only_queries_bounds_gated(spark):
         "quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.75) AS p75 "
         f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
     ).fetchdf().set_index("event_type")
-    for et, row in got.iterrows():
+    for et, row in estc.iterrows():
         t = vals.loc[et]
         assert t["p25"] - 1e-9 <= row["iqm"] <= t["p75"] + 1e-9
 
@@ -411,7 +507,8 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
     sf = "/root/testdata/sf0.001"
     qs = entry.queries()
     hot = [
-        "td_stats_lineitem",
+        "td_quantiles_lineitem",
+        "td_cdf_events",
         "agg_pricing_summary",
         "join_customer_orders",
         "window_top_orders",
@@ -424,27 +521,22 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
         "hll_distinct_users",
         "pipeline_curation",
         "heavy_hitter_users",
-        "heavy_hitters_by_type",
-        "sample_fraction_docs",
+        "sample_suite_docs",
         "sample_topk_orders",
-        "hll_users_exact",
-        "cms_total_lineitem",
-        "bloom_present_keys",
+        "cms_supplier_freq",
+        "bloom_membership",
         "asof_purchase_click",
         "range_join_error_blast",
         "tfidf_top_terms",
         "skew_join_user_totals",
-        "sample_split_docs",
-        "pack_sequences_docs",
+        "pack_docs",
         "dedup_cluster_canonical",
-        "sample_mixture_docs",
         "pipeline_pretrain",
         "ntile_price_deciles",
         "td_bucket_lineitem",
         "td_drift_events",
         "td_hourly_events",
         "hll_overlap_users",
-        "pack_fragments_docs",
         "decontam_docs",
         "repetition_docs",
     ]
@@ -475,9 +567,11 @@ def test_plan_discipline_no_rowwise_python_and_pruned_scans(spark):
     # manager substitutes InMemoryRelation for matching logical plans,
     # which hides the FileScan pruning this test pins
     sf_uncached = "/root/testdata/sf0.01"
-    flagship = qs["td_stats_lineitem"](spark, sf_uncached)
+    flagship = qs["td_quantiles_lineitem"](spark, sf_uncached)
     flagship.collect()
     plan = flagship._jdf.queryExecution().executedPlan().toString()
+    # the digest arm's scan: 2-column projection, null filter pushed
+    # (the exact-percentile verification arm scans beside it)
     assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan
     assert "PushedFilters: [IsNotNull(l_extendedprice)]" in plan
 
