@@ -720,19 +720,33 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(
         docs.select((F.col("doc_id") + shift).alias("doc_id"), "text")
     )
+    # the signature kernel is the heavy stage (64 bit-plane passes per
+    # batch); a small local fixture scans as 1-2 splits, which would pin
+    # the kernel to 2 cores — spread ONLY when the scan is narrower than
+    # the cluster (at real scale the source already has many splits and
+    # this is a no-op, so no gratuitous text shuffle)
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
     sigs = dedup.simhash_signatures(corpus, "text", "doc_id")
     cand = dedup.simhash_candidate_pairs(sigs, max_hamming=3)
+    # identical-text pairs via ONE groupBy(text) + in-group pair
+    # expansion (sorted ids, i<j) — half the text shuffle of a text
+    # self-join, and group sizes are tiny (dup multiplicity)
     same_text = (
-        corpus.alias("x")
-        .join(
-            corpus.alias("y"),
-            (F.col("x.text") == F.col("y.text"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        corpus.groupBy("text")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .where(F.size("_ids") > 1)
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, (x, i) -> "
+                    "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("_p")
         )
+        .select(F.col("_p.doc_a"), F.col("_p.doc_b"))
     )
     return cand.join(same_text, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "hamming"

@@ -854,14 +854,20 @@ def simhash_signatures(
 def _simhash_word_hashes(poly: np.ndarray, seed: int) -> np.ndarray:
     """Seed-mix + splitmix64 finalizer: widens the ~30-bit polynomial
     hash to 64 well-mixed bits (public splitmix64 constants)."""
-    h = poly.view(np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    # seed mix computed in python int then wrapped: np scalar uint64
+    # multiply emits RuntimeWarning on (intended) wraparound
+    mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    h = poly.view(np.uint64) + mix
     h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return h ^ (h >> np.uint64(31))
 
 
 def simhash_candidate_pairs(
-    sigs: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    persist_bands: bool = True,
 ) -> DataFrame:
     """Banded candidate generation over four 16-bit chunks.
 
@@ -871,15 +877,26 @@ def simhash_candidate_pairs(
     *filter* but candidate recall for d in [4, max_hamming] is partial:
     only pairs that happen to share an identical chunk are found.
     ``max_bucket_size`` drops hot chunk buckets before the self-join
-    (see cap_lsh_buckets)."""
+    (see cap_lsh_buckets).
+
+    ``persist_bands``: the self-join evaluates the banded lineage on
+    BOTH sides, and the usual upstream is the mapInArrow signature
+    kernel (no exchange for Spark's reuse machinery to latch onto) —
+    persisting the tiny (doc, sig, band, key) table halves the kernel
+    work, the same posture as ``lsh_pairs_from_sigs``.  Handle exposed
+    as ``result.persisted_bands`` for release by looping callers."""
     banded = banded_stack(
         sigs,
         ["doc", "simhash"],
         [f"shiftright(simhash, {i * 16}) & 65535" for i in range(4)],
     )
     banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
+    persisted = None
+    if persist_bands:
+        banded = banded.persist()
+        persisted = banded
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -896,6 +913,9 @@ def simhash_candidate_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+    # cache-release handle (see docstring); None when persist_bands=False
+    out.persisted_bands = persisted
+    return out
 
 
 # ------------------------------------------------- embedding near-dup
