@@ -103,9 +103,20 @@ def test_simhash(spark, docs):
 
     cands = simhash_candidate_pairs(
         simhash_signatures(docs, "text", "doc_id"), max_hamming=16
-    ).toPandas()
-    got = {(a, b) for a, b, _ in cands.itertuples(index=False)}
+    )
+    pdf = cands.toPandas()
+    got = {(a, b) for a, b, _ in pdf.itertuples(index=False)}
     assert (0, 1) in got
+    # cache-release handle: the banded table is persisted by default and
+    # the caller can release it after the consuming action
+    assert cands.persisted_bands is not None
+    cands.persisted_bands.unpersist()
+    nocache = simhash_candidate_pairs(
+        simhash_signatures(docs, "text", "doc_id"),
+        max_hamming=16,
+        persist_bands=False,
+    )
+    assert nocache.persisted_bands is None
 
 
 def test_embedding_similar_and_ann(spark):
@@ -135,6 +146,25 @@ def test_embedding_similar_and_ann(spark):
     hits = sum(1 for q in l if b.get(q) == l[q])
     assert len(l) >= 5  # most queries find same-bucket candidates
     assert hits / max(len(l), 1) >= 0.5  # bucketed recall is imperfect but real
+
+    # exhaustive probe (all 2^n_planes buckets) == brute force exactly,
+    # THROUGH the bucketed feature -> equijoin -> re-rank plan (the
+    # oracle-hashable mode the driver query runs)
+    brute3 = cosine_topk(df, "embedding", "vec_id", query_ids=[0, 3, 7], k=3)
+    allprobe = lsh_ann_topk(
+        df, "embedding", "vec_id", query_ids=[0, 3, 7], k=3,
+        n_planes=4, dim=16, probe_all=True,
+    )
+    want = {tuple(r) for r in brute3.collect()}
+    got_all = {tuple(r) for r in allprobe.collect()}
+    assert got_all == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="probe_all"):
+        lsh_ann_topk(
+            df, "embedding", "vec_id", query_ids=[0], k=1,
+            n_planes=13, dim=16, probe_all=True,
+        )
 
 
 def test_text_functions_vs_python(spark, docs):
