@@ -177,3 +177,52 @@ def test_random_graph_matches_union_find(spark, seed):
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_sparse_random_graph_matches_union_find(spark, seed):
+    """Chain-heavy regime: n nodes with only ~0.6n random edges form
+    long paths and trees (large diameter relative to size) — exactly
+    where min-label propagation was O(diameter) and the star algorithm
+    must stay logarithmic.  Cross-checked against pure-Python
+    union-find on 300 nodes."""
+    import random
+
+    rng = random.Random(seed)
+    n = 300
+    edges = list(
+        {
+            (f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+            for _ in range(180)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_members: dict[str, list[str]] = {}
+    for v in parent:
+        comp_members.setdefault(find(v), []).append(v)
+    want = {
+        v: min(members)
+        for members in comp_members.values()
+        for v in members
+    }
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(df, max_iters=12).collect()
+    }
+    assert got == want
