@@ -376,6 +376,30 @@ def test_grouped_merge_exact_keys_beyond_2_53_with_nulls(spark):
     assert d_hi.quantile(0.0) == 100.0
 
 
+def test_grouped_merge_exotic_keys(spark):
+    """Exact-key discipline edge cases: int64 extremes, JSON-hostile
+    unicode strings (quotes, backslashes, braces), the literal string
+    'null' vs a true NULL — each must stay its own group with exact
+    counts and key values through the salted merge tree."""
+    lkeys = [(-(1 << 63)), (1 << 63) - 1, None]
+    skeys = ['he said "hi"', "back\\slash", "{\"j\":1}", "null", None]
+    rows = []
+    for i, k in enumerate(lkeys):
+        rows += [(k, "s", float(i * 100 + j)) for j in range(5)]
+    for i, s in enumerate(skeys):
+        rows += [(0, s, float(1000 + i * 100 + j)) for j in range(5)]
+    df = spark.createDataFrame(
+        rows, "k long, s string, v double"
+    ).repartition(8)
+    merged = tdigest_agg(df, "v", by=["k", "s"], fanin=2)
+    out = {(r["k"], r["s"]): r["total_weight"] for r in merged.collect()}
+    assert len(out) == len(lkeys) + len(skeys)
+    for k in lkeys:
+        assert out[(k, "s")] == 5
+    for s in skeys:
+        assert out[(0, s)] == 5
+
+
 def test_parquet_row_count_single_file_and_directory(tmp_path):
     """sources.parquet_row_count (the generalized n_docs hint): exact on
     a single file, sums footers across a multi-file dataset directory,
