@@ -384,9 +384,22 @@ def _q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text analysis: the four vectorized features (token count,
+    language guess, fingerprint, quality — bit-identical to the
+    expression/SQL forms) joined with the corpus-statistics n-gram
+    commonness scores (the integer-exact LM/perplexity-filter analog,
+    operators/terms.py ngram_commonness) — every column hash-exact."""
     docs = table(spark, sf_dir, "documents")
-    # vectorized Arrow path; bit-identical to the expression/SQL forms
-    return T.text_features(docs, "text", "doc_id")
+    feats = T.text_features(docs, "text", "doc_id")
+    lm = terms.ngram_commonness(docs, "text", "doc_id", n=2)
+    return feats.join(
+        lm.withColumnRenamed("doc", "doc_id"), "doc_id"
+    ).select(
+        "doc_id", "n_tokens", "lang_guess", "fingerprint", "quality",
+        F.col("n_grams").alias("n_2grams"),
+        "commonness",
+        "n_hapax",
+    )
 
 
 def _q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1441,12 +1454,20 @@ def oracle_sql() -> dict[str, str]:
         # (text_features prunes nulls before the Arrow batch; the oracle
         # must state the same filter, not pass by fixture coincidence)
         "text_stats": f"""
-            SELECT doc_id,
-                   {T.token_count_frag_duck('text')} AS n_tokens,
-                   {T.lang_id_frag('text', 'duck')} AS lang_guess,
-                   {T.fingerprint_frag('text', 'duck')} AS fingerprint,
-                   {T.quality_score_frag('text', 'duck')} AS quality
-            FROM documents WHERE text IS NOT NULL
+            WITH feats AS (
+                SELECT doc_id,
+                       {T.token_count_frag_duck('text')} AS n_tokens,
+                       {T.lang_id_frag('text', 'duck')} AS lang_guess,
+                       {T.fingerprint_frag('text', 'duck')} AS fingerprint,
+                       {T.quality_score_frag('text', 'duck')} AS quality
+                FROM documents WHERE text IS NOT NULL
+            ), lm AS (
+                {terms.ngram_commonness_sql('documents', 'text', 'doc_id', n=2)}
+            )
+            SELECT f.doc_id, f.n_tokens, f.lang_guess, f.fingerprint,
+                   f.quality,
+                   lm.n_grams AS n_2grams, lm.commonness, lm.n_hapax
+            FROM feats f JOIN lm ON f.doc_id = lm.doc
         """,
         "skew_join_user_totals": """
             WITH ev AS (

@@ -44,7 +44,12 @@ from pyspark.sql import functions as F
 
 from .dedup import words_frag
 
-__all__ = ["tfidf_topk_terms", "tfidf_topk_terms_sql"]
+__all__ = [
+    "ngram_commonness",
+    "ngram_commonness_sql",
+    "tfidf_topk_terms",
+    "tfidf_topk_terms_sql",
+]
 
 
 def tfidf_topk_terms(
@@ -152,4 +157,108 @@ def tfidf_topk_terms_sql(
         )
         SELECT doc_id, term, tf, df, tfidf, rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def ngram_commonness(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Corpus-statistics document scoring — the integer-exact analog of
+    LM/perplexity filtering (CCNet-style): score every document by how
+    COMMON its word n-grams are across the whole corpus.  A document
+    whose n-grams are frequent corpus-wide reads like typical text (low
+    "perplexity"); one full of hapax n-grams (seen nowhere else) is
+    boilerplate, garbled, or unique — the standard keep/flag signal.
+
+    Why counts, not log-probabilities: a true LM score sums ``ln p`` —
+    and ``ln`` is the arithmetic primitive whose last-ulp rounding
+    differs across libm implementations, which would break the repo's
+    exact cross-engine oracle contract (same reasoning as the linear-idf
+    choice above).  Summed integer corpus frequencies rank documents by
+    the same signal and hash exactly on every engine.
+
+    Returns one row per non-NULL-text document:
+
+        doc          the id
+        n_grams      n-gram OCCURRENCES in the doc (multiplicity kept —
+                     the per-occurrence LM analogy; 0 for docs shorter
+                     than n words)
+        commonness   sum over occurrences of the corpus-wide occurrence
+                     count of that n-gram (>= n_grams; == n_grams iff
+                     every n-gram is unique corpus-wide)
+        n_hapax      occurrences whose n-gram appears exactly once in
+                     the corpus (i.e. only here)
+
+    N-grams are compared by the package polynomial hash (FP_MOD
+    arithmetic, cross-engine exact); as with the inverted-index join,
+    hash collisions merge two n-grams' counts deterministically and
+    identically on every engine.
+
+    Scale shape (100 TB): explode n-gram hashes JVM-side (bounded
+    replication, ~1 row per word), ONE hash aggregate on the n-gram key
+    (map-side combine), one shuffle hash join back on that key (the
+    n-gram vocabulary is too big to broadcast — same posture as the
+    tf |><| df join), one hash aggregate on the doc key.  No Python
+    anywhere in the plan.
+    """
+    from .dedup import shingle_hash_frag, shingles_frag
+
+    sh = shingles_frag(text_col, n, "spark", distinct=False)
+    hashes = f"transform({sh}, s -> {shingle_hash_frag('s', 'spark')})"
+    base = df.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    ex = base.select(
+        F.col(id_col).alias("doc"), F.explode(F.expr(hashes)).alias("h")
+    )
+    cf = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_cf"))
+    scored = (
+        ex.join(cf, "h")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("_cf").cast("long").alias("commonness"),
+            F.sum((F.col("_cf") == 1).cast("int")).cast("long").alias(
+                "n_hapax"
+            ),
+        )
+    )
+    ids = base.select(F.col(id_col).alias("doc"))
+    return ids.join(scored, "doc", "left").select(
+        "doc",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("commonness", F.lit(0)).alias("commonness"),
+        F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+    )
+
+
+def ngram_commonness_sql(
+    table: str, text_col: str, id_col: str, n: int = 2
+) -> str:
+    """DuckDB twin of ngram_commonness (same hash, same arithmetic)."""
+    from .dedup import shingle_hash_frag, shingles_frag
+
+    sh = shingles_frag(text_col, n, "duck", distinct=False)
+    hf = shingle_hash_frag("s", "duck")
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc, {sh} AS sh FROM {table}
+            WHERE {text_col} IS NOT NULL AND {id_col} IS NOT NULL
+        ), ex AS (
+            SELECT doc, unnest(list_transform(sh, s -> {hf})) AS h
+            FROM base
+        ), cf AS (
+            SELECT h, count(*) AS _cf FROM ex GROUP BY h
+        ), g AS (
+            SELECT doc, count(*) AS n_grams,
+                   CAST(sum(_cf) AS BIGINT) AS commonness,
+                   CAST(sum(CASE WHEN _cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM ex JOIN cf USING (h) GROUP BY doc
+        )
+        SELECT b.doc,
+               coalesce(g.n_grams, 0) AS n_grams,
+               coalesce(g.commonness, 0) AS commonness,
+               coalesce(g.n_hapax, 0) AS n_hapax
+        FROM base b LEFT JOIN g USING (doc)
     """

@@ -98,3 +98,68 @@ def test_null_doc_id_dropped(spark):
 def _run_df(spark, df):
     out = tfidf_topk_terms(df, "text", "doc_id", k=3, min_df=1)
     return sorted(tuple(r) for r in out.collect())
+
+
+def test_ngram_commonness_hand_computed(spark):
+    """Corpus-statistics LM-analog scoring: hand-computed bigram
+    occurrence counts, multiplicity kept, short/empty/NULL docs
+    handled."""
+    from go_tdigest_spark.operators.terms import ngram_commonness
+
+    rows = [
+        (0, "a b c"),      # bigrams: (a b), (b c)
+        (1, "a b d"),      # (a b), (b d)
+        (2, "x"),          # < 2 words -> zero n-grams
+        (3, ""),           # empty -> zero
+        (4, None),         # NULL text -> excluded entirely
+        (5, "a b a b"),    # (a b), (b a), (a b) — multiplicity kept
+    ]
+    # corpus occurrence counts: (a b)=4, (b a)=1, (b c)=1, (b d)=1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc"]: (r["n_grams"], r["commonness"], r["n_hapax"])
+        for r in ngram_commonness(df, "text", "doc_id", n=2).collect()
+    }
+    assert out == {
+        0: (2, 5, 1),   # 4 + 1, hapax (b c)
+        1: (2, 5, 1),   # 4 + 1, hapax (b d)
+        2: (0, 0, 0),
+        3: (0, 0, 0),
+        5: (3, 9, 1),   # 4 + 1 + 4, hapax (b a)
+    }
+
+
+def test_ngram_commonness_cross_engine_parity(spark):
+    """Spark vs the DuckDB SQL twin on a hostile mixed corpus (unicode,
+    repeated whitespace, punctuation runs) — every column must match
+    exactly."""
+    import duckdb
+    import pandas as pd
+
+    from go_tdigest_spark.operators.terms import (
+        ngram_commonness,
+        ngram_commonness_sql,
+    )
+
+    rows = [
+        (0, "The  quick\tbrown fox"),
+        (1, "the quick brown FOX!"),
+        (2, "naïve Ärger naïve Ärger naïve"),
+        (3, "one-token"),
+        (4, " \t\n "),
+        (5, "the quick brown fox jumps over the lazy dog the quick"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in ngram_commonness(df, "text", "doc_id", n=2).collect()
+    )
+    con = duckdb.connect()
+    con.register("tdocs", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ngram_commonness_sql("tdocs", "text", "doc_id", n=2)
+        ).fetchall()
+    )
+    assert got == want
