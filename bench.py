@@ -63,14 +63,31 @@ def main() -> None:
     ).count()
     warm = time.time() - t_warm
 
+    # min of REPS per query, each rep building the DataFrame FRESH (a
+    # re-collect of the same DF reuses prior shuffle map outputs and
+    # understates cost): the sandbox host throttles under sustained
+    # load with 3-25x single-shot spikes, so a one-shot timing mistakes
+    # throttle for regression; the min approximates unthrottled cost
+    # comparably for every query (protocol per BENCH/BASELINE.md)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     total_rows = 0
     for name, fn in qs.items():
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        rows = df.collect()
-        timings[name] = round(time.time() - t0, 3)
-        total_rows += len(rows)
+        best = None
+        for rep in range(reps):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            rows = df.collect()
+            took = time.time() - t0
+            if best is None or took < best:
+                best = took
+            if rep == 0:
+                total_rows += len(rows)
+            # drop intra-query persisted tables (LSH signatures, shingle
+            # index, banded sims): the next rep must pay the full cost,
+            # not hit the previous rep's identical-plan cache entry
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # sketch-build throughput: values digested per second across the five
