@@ -48,6 +48,7 @@ def register_sketch_sql_functions(spark: SparkSession) -> None:
         _cms_merge_pair_udf,
         _hll_intersect_udf,
         _hll_union_pair_udf,
+        _kll_merge_pair_udf,
     )
 
     spark.udf.register("hll_union_pair", _hll_union_pair_udf)
@@ -55,6 +56,7 @@ def register_sketch_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("bloom_union_pair", _bloom_union_pair_udf)
     spark.udf.register("bloom_intersect_pair", _bloom_intersect_pair_udf)
     spark.udf.register("cms_merge_pair", _cms_merge_pair_udf)
+    spark.udf.register("kll_merge_pair", _kll_merge_pair_udf)
     # raw probe kernels under private names; the public SQL names are
     # NULL-masking wrappers (coalesce keeps the hash column int64 even
     # when the CASE branch is batch-evaluated over NULL rows — the same

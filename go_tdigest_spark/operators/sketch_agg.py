@@ -538,6 +538,24 @@ def kll_count(sketch: Column | str) -> Column:
     return _kll_count_udf(sketch)
 
 
+def _kll_merge_bytes(ba: bytes, bb: bytes) -> bytes:
+    return KLL.from_bytes(ba).merge(KLL.from_bytes(bb)).to_bytes()
+
+
+_kll_merge_pair_udf = _pair_udf(BinaryType(), _kll_merge_bytes, True)
+
+
+def kll_merge_pair(a: Column | str, b: Column | str) -> Column:
+    """Merge two KLL sketches (compactor-level concatenation, same
+    associative merge the tree reduction uses — completes the pairwise
+    set algebra alongside hll_union_pair / bloom_*_pair /
+    cms_merge_pair / td_merge_pair).  Count is exact under merge and
+    min/max survive, so merged q=0/1 and kll_count reads stay
+    oracle-checkable; rank error keeps the KLL worst-case guarantee
+    through any merge order.  NULL identity."""
+    return _kll_merge_pair_udf(a, b)
+
+
 # ----------------------------------------------------------- Misra-Gries
 
 

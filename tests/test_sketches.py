@@ -1013,3 +1013,47 @@ def test_sketch_algebra_sql_callable(spark):
     assert abs(row["u"] - 100) / 100 < 0.15
     assert abs(row["i"] - 100) / 100 < 0.15
     assert row["cm"] is None
+
+
+def test_kll_merge_pair_algebra(spark):
+    """kll_merge_pair completes the pairwise sketch algebra: merged
+    count is exact (additive), tracked min/max survive (q=0/1 reads stay
+    oracle-exact), the merged p50 keeps the KLL rank bound, and NULL is
+    the merge identity."""
+    from go_tdigest_spark.operators import (
+        kll_agg,
+        kll_count,
+        kll_merge_pair,
+        kll_quantile,
+    )
+
+    da = spark.range(0, 2000).selectExpr("CAST(id AS DOUBLE) v")
+    db = spark.range(5000, 6000).selectExpr("CAST(id AS DOUBLE) v")
+    sa = kll_agg(da, "v", k=200).select(F.col("sketch").alias("sa"))
+    sb = kll_agg(db, "v", k=200).select(F.col("sketch").alias("sb"))
+    row = sa.crossJoin(sb).select(
+        kll_count(kll_merge_pair("sa", "sb")).alias("n"),
+        kll_quantile(kll_merge_pair("sa", "sb"), 0.0).alias("mn"),
+        kll_quantile(kll_merge_pair("sa", "sb"), 1.0).alias("mx"),
+        kll_quantile(kll_merge_pair("sa", "sb"), 0.5).alias("p50"),
+        kll_count(
+            kll_merge_pair("sa", F.lit(None).cast("binary"))
+        ).alias("n_ident"),
+    ).collect()[0]
+    assert row["n"] == 3000
+    assert row["mn"] == 0.0 and row["mx"] == 5999.0
+    # merged distribution: 2000 values in [0,2000) + 1000 in [5000,6000);
+    # exact p50 rank sits at value ~1500; KLL k=200 rank error ~1.5%
+    # of 3000 -> +-45 ranks -> value within [1455, 1545] generously
+    assert 1400 <= row["p50"] <= 1600
+    assert row["n_ident"] == 2000  # NULL identity keeps the left sketch
+
+    # SQL registration twin
+    from go_tdigest_spark.functions import register_sketch_sql_functions
+
+    register_sketch_sql_functions(spark)
+    sa.crossJoin(sb).createOrReplaceTempView("kll_pair_t")
+    got = spark.sql(
+        "SELECT kll_count(kll_merge_pair(sa, sb)) AS n FROM kll_pair_t"
+    ).collect()[0]["n"]
+    assert got == 3000
