@@ -674,10 +674,18 @@ def _q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Gopher-style repetition filter inputs: per-doc duplicate-2gram and
-    # top-2gram fractions, all map-side (no shuffle in the kernel stage)
+    # Per-doc duplication signals, intra- AND inter-document:
+    #  - Gopher-style repetition filter inputs (duplicate-2gram and
+    #    top-2gram fractions), all map-side (no shuffle in the kernel);
+    #  - cross-corpus exact duplicate-span stats (Lee et al. 2022
+    #    suffix-array dedup re-expressed as distributed 5-gram interval
+    #    merging): maximal token spans whose every 5-gram occurs >= 2
+    #    times corpus-wide (operators/dedup.py duplicate_span_stats)
     docs = table(spark, sf_dir, "documents")
     rep = dedup.repetition_stats(docs, "text", "doc_id", n=2)
+    spans = dedup.duplicate_span_stats(
+        docs, "text", "doc_id", n=5, min_count=2
+    )
     return rep.select(
         "doc",
         "n_grams",
@@ -687,7 +695,7 @@ def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 4
         ).alias("dup_frac"),
         F.round(F.col("top_count") / F.col("n_grams"), 4).alias("top_frac"),
-    )
+    ).join(spans, "doc")
 
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,9 +1744,15 @@ def oracle_sql() -> dict[str, str]:
         "decontam_docs": dedup.decontaminate_sql(
             "documents", "doc_id % 41 = 0", "text", "doc_id", n=3, threshold=5
         ),
-        "repetition_docs": dedup.repetition_stats_sql(
-            "documents", "text", "doc_id", n=2
-        ),
+        "repetition_docs": f"""
+            SELECT r.*, s.n_dup_spans, s.dup_tokens
+            FROM ({dedup.repetition_stats_sql(
+                "documents", "text", "doc_id", n=2
+            )}) r
+            JOIN ({dedup.duplicate_span_stats_sql(
+                "documents", "text", "doc_id", n=5, min_count=2
+            )}) s USING (doc)
+        """,
         "dedup_minhash_signatures": dedup.minhash_signature_sql(
             "documents", "text", "doc_id", n=2, n_hashes=16, as_string=True
         ),

@@ -1279,3 +1279,173 @@ def repetition_stats_sql(
                round(max(c) * 1.0 / sum(c), 4) AS top_frac
         FROM cnt GROUP BY doc
     """
+
+
+# ------------------------------------------ cross-doc duplicate spans
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-substring detection (the suffix-array dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed as distributed n-gram span merging): every
+    maximal token span whose every length-``n`` word n-gram occurs at
+    least ``min_count`` times corpus-wide (intra-document repeats
+    count, as in the paper's total-occurrence criterion).
+
+    Returns one row per maximal span: ``(doc, span_start, span_end)``
+    with word positions, half-open ``[span_start, span_end)`` over the
+    shared tokenizer's word sequence.  Overlapping and touching
+    duplicated n-gram windows are merged, so spans never overlap and
+    cover exactly the duplicated positions.
+
+    Scale shape (pure Catalyst, no Python):
+      - posexplode n-gram hashes JVM-side (shared polynomial hash, so
+        the DuckDB twin is bit-identical);
+      - one map-side-combinable hash agg on the gram key to find grams
+        with corpus count >= min_count;
+      - shuffle hash join back on the gram key (the duplicated-gram set
+        scales with the corpus - too big to broadcast, same tf|><|df
+        posture as tfidf/commonness);
+      - per-doc window pass (gaps-and-islands interval merge) + one doc
+        agg that reuses the window's hash partitioning (no extra
+        exchange).
+    Hash collisions (distinct grams colliding in the 57-bit SH_MOD
+    space) merge identically on the SQL side.
+    """
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    sh = shingles_frag(text_col, n, "spark", distinct=False)
+    hf = shingle_hash_frag("g", "spark", SH_MOD)
+    pruned = df.select(F.col(id_col).alias("doc"), F.col(text_col)).where(
+        F.col(text_col).isNotNull()
+    )
+    grams = pruned.select(
+        "doc",
+        F.posexplode(F.expr(f"transform({sh}, g -> {hf})")).alias(
+            "pos", "g"
+        ),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("g")
+    )
+    dpos = grams.join(dup, "g").select(
+        "doc", "pos", (F.col("pos") + F.lit(n)).alias("pe")
+    )
+    w_prev = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = dpos.withColumn(
+        "_new",
+        (
+            F.col("pos") > F.coalesce(F.max("pe").over(w_prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("_island", F.sum("_new").over(w_run))
+    return islands.groupBy("doc", "_island").agg(
+        F.min("pos").alias("span_start"),
+        F.max("pe").alias("span_end"),
+    ).select("doc", "span_start", "span_end")
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document rollup of :func:`duplicate_spans`: ``(doc,
+    n_dup_spans, dup_tokens)`` for EVERY non-null-text document —
+    zero-filled for documents with no duplicated span, so the output is
+    join-ready against other per-doc quality signals (Gopher repetition
+    stats, text features).  ``dup_tokens`` counts word positions covered
+    by duplicated spans; callers derive ``dup_frac = dup_tokens /
+    n_words`` for the usual removal threshold."""
+    spans = duplicate_spans(df, text_col, id_col, n, min_count)
+    stats = spans.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    ids = df.select(F.col(id_col).alias("doc")).where(
+        F.col(text_col).isNotNull()
+    )
+    return ids.join(stats, "doc", "left").select(
+        "doc",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    )
+
+
+def duplicate_span_stats_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of duplicate_span_stats (identical polynomial gram
+    hash, identical interval-merge rule, zero-filled)."""
+    sh = shingles_frag(text_col, n, "duck", distinct=False)
+    hf = shingle_hash_frag("g", "duck", SH_MOD)
+    return f"""
+        WITH sh AS (
+            SELECT {id_col} AS doc,
+                   list_transform({sh}, g -> ({hf})) AS hs
+            FROM {table} WHERE {text_col} IS NOT NULL
+        ), grams AS (
+            SELECT doc,
+                   unnest(generate_series(1, len(hs))) - 1 AS pos,
+                   unnest(hs) AS g
+            FROM sh
+        ), dup AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) >= {min_count}
+        ), dpos AS (
+            SELECT doc, pos, pos + {n} AS pe
+            FROM grams JOIN dup USING (g)
+        ), flagged AS (
+            SELECT doc, pos, pe,
+                   CASE WHEN pos > coalesce(max(pe) OVER (
+                       PARTITION BY doc ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), -1) THEN 1 ELSE 0 END AS is_new
+            FROM dpos
+        ), islands AS (
+            SELECT doc, pos, pe,
+                   sum(is_new) OVER (
+                       PARTITION BY doc ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        ), spans AS (
+            SELECT doc, min(pos) AS span_start, max(pe) AS span_end
+            FROM islands GROUP BY doc, island
+        ), stats AS (
+            SELECT doc, count(*) AS n_dup_spans,
+                   sum(span_end - span_start) AS dup_tokens
+            FROM spans GROUP BY doc
+        )
+        SELECT t.{id_col} AS doc,
+               coalesce(s.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+               coalesce(s.dup_tokens, 0)::BIGINT AS dup_tokens
+        FROM {table} t LEFT JOIN stats s ON t.{id_col} = s.doc
+        WHERE t.{text_col} IS NOT NULL
+    """

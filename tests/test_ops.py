@@ -2031,3 +2031,141 @@ def test_streaming_repetition_matches_batch(spark, tmp_path):
         for r in repetition_stats(docs, "text", "doc_id", n=2).collect()
     }
     assert got == expect and len(got) > 0
+
+
+# ----------------------------------------- cross-doc duplicate spans
+
+
+def _brute_dup_spans(rows, n, min_count):
+    """Python brute-force replica of duplicate_span_stats over shingle
+    STRINGS (hash collisions merge identically engine-side; on small
+    random corpora string- and hash-identity coincide)."""
+    from collections import Counter
+
+    from go_tdigest_spark.operators.dedup import py_shingles
+
+    grams = {}
+    cnt = Counter()
+    for d, t in rows:
+        if t is None:
+            continue
+        g = py_shingles(t, n)
+        grams[d] = g
+        cnt.update(g)
+    out = {}
+    for d, g in grams.items():
+        spans = []
+        for p in (i for i, x in enumerate(g) if cnt[x] >= min_count):
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + n)
+            else:
+                spans.append([p, p + n])
+        out[d] = (
+            len(spans),
+            sum(e - s for s, e in spans),
+            [(s, e) for s, e in spans],
+        )
+    return out
+
+
+def test_duplicate_spans_hand_computed(spark):
+    from go_tdigest_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+
+    rows = [
+        (1, "a b c d e a b"),   # "a b"x2 intra-doc, "c d" shared with 2
+        (2, "x c d y"),
+        (3, "zz yy"),           # nothing duplicated
+        (4, None),              # dropped
+        (5, "q"),               # shorter than n -> zero-filled
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "text", "doc_id", n=2).collect()
+    }
+    # doc1: windows [0,2),[2,4),[5,7) -> touching first two merge
+    assert spans == {(1, 0, 4), (1, 5, 7), (2, 1, 3)}
+    stats = {
+        r["doc"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicate_span_stats(df, "text", "doc_id", n=2).collect()
+    }
+    assert stats == {1: (2, 6), 2: (1, 2), 3: (0, 0), 5: (0, 0)}
+
+
+def test_duplicate_spans_randomized_bruteforce_and_sql_parity(spark):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from go_tdigest_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicate_span_stats_sql,
+        duplicate_spans,
+    )
+
+    rng = np.random.default_rng(173)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = " ".join(rng.choice(vocab, size=12))
+    rows = []
+    for d in range(80):
+        body = " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        # ~1/3 of docs share an identical boilerplate block mid-text
+        if d % 3 == 0:
+            body = body + " " + boiler + " " + " ".join(
+                rng.choice(vocab, size=5)
+            )
+        rows.append((d, body if body else None))
+    rows.append((900, None))
+    rows.append((901, "\t  w1\n w2  \x0bw3 "))  # hostile whitespace
+    n, mc = 3, 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    brute = _brute_dup_spans(rows, n, mc)
+    got = {
+        r["doc"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicate_span_stats(
+            df, "text", "doc_id", n=n, min_count=mc
+        ).collect()
+    }
+    assert set(got) == set(brute)
+    for d, (ns, nt, _) in brute.items():
+        assert got[d] == (ns, nt), d
+
+    # span-level invariants + exact span equality vs brute
+    spans = duplicate_spans(df, "text", "doc_id", n=n, min_count=mc)
+    per_doc: dict = {}
+    for r in spans.collect():
+        per_doc.setdefault(r["doc"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for d, sp in per_doc.items():
+        sp.sort()
+        assert sp == brute[d][2], d
+        for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+            assert e1 < s2  # maximal: disjoint and non-touching
+        assert all(e - s >= n for s, e in sp)
+
+    # DuckDB twin: identical polynomial hash, identical merge rule
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    oracle = {
+        d: (ns, nt)
+        for d, ns, nt in con.sql(
+            duplicate_span_stats_sql(
+                "documents", "text", "doc_id", n=n, min_count=mc
+            )
+        ).fetchall()
+    }
+    assert oracle == got
+
+    # plan guardrails: no Python anywhere, no cartesian product
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
