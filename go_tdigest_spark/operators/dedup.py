@@ -207,6 +207,49 @@ def shingle_hashes(
     return pruned.mapInArrow(gen, f"doc {id_dt}, s long")
 
 
+def positional_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 1
+) -> DataFrame:
+    """Word n-gram shingle hashes WITH word positions per doc:
+    ``(doc, pos, g)``, multiplicity kept — the positional view needed by
+    duplicate-span detection.  Same vectorized shape as
+    :func:`shingle_hashes` (one poly_hash_batch pass per Arrow batch, no
+    per-row Python hashing); ``pos`` is the 0-based index of the gram's
+    first word under the shared tokenizer."""
+    import pyarrow as pa
+
+    id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
+    pruned = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+
+    def gen(batches):
+        from ._batch import poly_hash_batch
+
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            doc_rep: list = []
+            all_shingles: list[str] = []
+            lens: list[int] = []
+            for i, t in enumerate(texts):
+                sh = py_shingles(t, n)
+                all_shingles.extend(sh)
+                doc_rep.extend([i] * len(sh))
+                lens.append(len(sh))
+            if not all_shingles:
+                continue
+            h = poly_hash_batch(all_shingles, FP_BASE, SH_MOD)
+            d = np.asarray(doc_rep, dtype=np.int64)
+            ln = np.asarray(lens, dtype=np.int64)
+            starts = np.repeat(np.cumsum(ln) - ln, ln)
+            pos = np.arange(d.size, dtype=np.int64) - starts
+            out_ids = batch.column(0).take(pa.array(d, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [out_ids, pa.array(pos), pa.array(h, type=pa.int64())],
+                names=["doc", "pos", "g"],
+            )
+
+    return pruned.mapInArrow(gen, f"doc {id_dt}, pos long, g long")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -1290,6 +1333,7 @@ def duplicate_spans(
     id_col: str,
     n: int = 5,
     min_count: int = 2,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Exact duplicate-substring detection (the suffix-array dedup of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -1304,9 +1348,12 @@ def duplicate_spans(
     duplicated n-gram windows are merged, so spans never overlap and
     cover exactly the duplicated positions.
 
-    Scale shape (pure Catalyst, no Python):
-      - posexplode n-gram hashes JVM-side (shared polynomial hash, so
-        the DuckDB twin is bit-identical);
+    Scale shape (no per-row Python):
+      - gram hashes with positions from one vectorized Arrow pass per
+        batch (positional_shingle_hashes — the same poly_hash_batch
+        kernel the inverted index uses; the Catalyst per-char hash
+        lambda was ~6x slower on this stage), bit-identical to the
+        DuckDB twin's polynomial;
       - one map-side-combinable hash agg on the gram key to find grams
         with corpus count >= min_count;
       - shuffle hash join back on the gram key (the duplicated-gram set
@@ -1324,17 +1371,18 @@ def duplicate_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    sh = shingles_frag(text_col, n, "spark", distinct=False)
-    hf = shingle_hash_frag("g", "spark", SH_MOD)
-    pruned = df.select(F.col(id_col).alias("doc"), F.col(text_col)).where(
-        F.col(text_col).isNotNull()
-    )
-    grams = pruned.select(
-        "doc",
-        F.posexplode(F.expr(f"transform({sh}, g -> {hf})")).alias(
-            "pos", "g"
-        ),
-    )
+    grams = positional_shingle_hashes(df, text_col, id_col, n)
+    persisted = None
+    if persist_grams:
+        # the gram table feeds BOTH the corpus-count agg and the
+        # position side of the join-back; persisting runs the Arrow
+        # hash kernel once instead of twice.  Handle exposed as
+        # ``result.persisted_grams`` so looping batch callers can
+        # release it (same contract as lsh persisted_sigs).
+        from pyspark import StorageLevel
+
+        persisted = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = persisted
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1360,10 +1408,12 @@ def duplicate_spans(
             F.col("pos") > F.coalesce(F.max("pe").over(w_prev), F.lit(-1))
         ).cast("int"),
     ).withColumn("_island", F.sum("_new").over(w_run))
-    return islands.groupBy("doc", "_island").agg(
+    out = islands.groupBy("doc", "_island").agg(
         F.min("pos").alias("span_start"),
         F.max("pe").alias("span_end"),
     ).select("doc", "span_start", "span_end")
+    out.persisted_grams = persisted
+    return out
 
 
 def duplicate_span_stats(
@@ -1372,6 +1422,7 @@ def duplicate_span_stats(
     id_col: str,
     n: int = 5,
     min_count: int = 2,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Per-document rollup of :func:`duplicate_spans`: ``(doc,
     n_dup_spans, dup_tokens)`` for EVERY non-null-text document —
@@ -1379,8 +1430,10 @@ def duplicate_span_stats(
     join-ready against other per-doc quality signals (Gopher repetition
     stats, text features).  ``dup_tokens`` counts word positions covered
     by duplicated spans; callers derive ``dup_frac = dup_tokens /
-    n_words`` for the usual removal threshold."""
-    spans = duplicate_spans(df, text_col, id_col, n, min_count)
+    n_words`` for the usual removal threshold.  ``persist_grams`` and
+    the ``result.persisted_grams`` release handle pass through from
+    :func:`duplicate_spans`."""
+    spans = duplicate_spans(df, text_col, id_col, n, min_count, persist_grams)
     stats = spans.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
@@ -1388,11 +1441,13 @@ def duplicate_span_stats(
     ids = df.select(F.col(id_col).alias("doc")).where(
         F.col(text_col).isNotNull()
     )
-    return ids.join(stats, "doc", "left").select(
+    out = ids.join(stats, "doc", "left").select(
         "doc",
         F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
         F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
     )
+    out.persisted_grams = spans.persisted_grams
+    return out
 
 
 def duplicate_span_stats_sql(

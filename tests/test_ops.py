@@ -2163,7 +2163,9 @@ def test_duplicate_spans_randomized_bruteforce_and_sql_parity(spark):
     }
     assert oracle == got
 
-    # plan guardrails: no Python anywhere, no cartesian product
+    # plan guardrails: gram hashing is ONE vectorized Arrow stage
+    # (MapInArrow), everything else Catalyst — no row-at-a-time Python,
+    # no cartesian product
     plan = spans._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
