@@ -2,13 +2,26 @@
 
 ``entry(spark)`` runs the flagship query (grouped t-digest sketch over
 lineitem prices with quantile/cdf/trimmed-mean reads) at sf0.001.
-``queries()`` exposes every implemented operator; ``oracle_sql()`` gives
-the DuckDB-equivalent SQL for the exactly-checkable ones.  Sketch
-estimates (p50/p95/p99, cdf, trimmed quantile ranges) are approximate by
-construction and cannot hash-match an exact oracle — those entries omit
-the oracle (rows-only driver check) and their tight error bounds are
-enforced in tests/ instead (same split the reference uses:
-tdigest_test.go checks bounds, not equality).
+``queries()`` exposes every implemented operator; ``oracle_sql()`` covers
+ALL 50 entries.  Sketch estimates (p50/p95/p99, cdf, KS, HLL/CMS/Bloom
+reads) are approximate by construction and cannot hash-match an exact
+oracle — those queries emit their exact-under-merge columns directly
+plus one ``ok_*``/``*_ok`` boolean per estimate: the published error
+bound evaluated Spark-side against an exact companion, hashed against a
+TRUE literal (the raw estimates are independently re-derived and
+bound-checked in tests/, so inverted bound logic cannot pass silently).
+
+Bound provenance: each in-result bound is the algorithm's published
+guarantee with margin, NOT a fitted fixture constant — t-digest 0.015
+rank-space eps (reference bound shape, measured max 5e-5), HLL 5% rel
+(1.04/sqrt(2^12) ~ 1.6% theoretical), CMS never-undercount + (e/w)*N
+overcount (holds per probe w.p. >= 1-e^-d; in these fixtures distinct
+keys << w so observed overcount is 0), Bloom analytic FP budget from
+the per-group insert count.  A probabilistic guarantee can in principle
+fail on a fresh dataset (~e^-d per CMS probe at the worst case); all 50
+queries were verified hash-exact at sf0.001, sf0.01 AND sf0.1, so a
+single red ``ok_`` row at a brand-new SF should be re-read as "estimate
+exceeded its published bound there", not as a broken operator.
 
 Exactness trick used throughout: t-digest tails are exact singletons
 (min/max == Quantile(0)/Quantile(1)), counts are exact under merge

@@ -69,7 +69,7 @@ def main() -> None:
     # load with 3-25x single-shot spikes, so a one-shot timing mistakes
     # throttle for regression; the min approximates unthrottled cost
     # comparably for every query (protocol per BENCH/BASELINE.md)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     total_rows = 0
     for name, fn in qs.items():
@@ -90,8 +90,11 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    # sketch-build throughput: values digested per second across the five
-    # digest-building queries (lineitem scanned twice, events twice, documents once)
+    # sketch-build throughput: values digested per second across the
+    # three digest-building queries (td_quantiles_lineitem,
+    # td_cdf_events, td_mean_documents — the former td_stats_* exact
+    # companions were absorbed into the first two in the 50-query
+    # consolidation)
     from go_tdigest_spark.sources import table
 
     n_li = table(spark, SF_DIR, "lineitem").count()

@@ -99,9 +99,25 @@ def tree_merge(
             # vendor AQE builds) — fall back to the cluster default
             n_shuffle = df.sparkSession.sparkContext.defaultParallelism
         gkey = "_gkey"
-        dist = df.withColumn(
-            gkey, F.to_json(F.struct(*[F.col(c) for c in group_cols]))
-        ).repartition(n_shuffle, *[F.col(c) for c in group_cols])
+        # gkey is computed AFTER the exchange so the JSON rendering is
+        # not serialized through the shuffle alongside the raw keys.
+        # Default to_json truncates timestamps to MILLISECONDS (.SSS) —
+        # explicit micro-precision formats keep the encoding injective
+        # for sub-millisecond-distinct timestamp keys (Spark timestamps
+        # are exactly microsecond-precision, so 6 fractional digits are
+        # lossless).
+        dist = df.repartition(
+            n_shuffle, *[F.col(c) for c in group_cols]
+        ).withColumn(
+            gkey,
+            F.to_json(
+                F.struct(*[F.col(c) for c in group_cols]),
+                {
+                    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+                },
+            ),
+        )
         in_fields = dist.schema.fields
         key_set = set(group_cols)
         arrow_out = pa.schema(

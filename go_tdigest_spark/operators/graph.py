@@ -83,8 +83,19 @@ def connected_components(
     silently splits clusters, which for dedup means keeping duplicates,
     so it is loud instead.
     """
+    def _snapshot(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges_fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    live = edges_fwd.where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    # ONE materialization of the upstream pair pipeline (typically an
+    # expensive LSH self-join): everything below — node inventory,
+    # initial edge orientation — reads this snapshot, never the raw
+    # lineage again
+    live = _snapshot(
+        edges_fwd.where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
     # every node that appears in any pair gets a label — including
     # nodes whose only pair is a self-loop (singleton components)
     all_nodes = (
@@ -101,11 +112,6 @@ def connected_components(
         )
         .distinct()
     )
-
-    def _snapshot(df: DataFrame) -> DataFrame:
-        if reliable:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
 
     def _large_star(e: DataFrame) -> DataFrame:
         # symmetric view; hook every neighbor LARGER than u onto
@@ -145,20 +151,27 @@ def connected_components(
             same_count
             and stepped.exceptAll(edges).limit(1).count() == 0
         )
-        prev = edges
+        # NOTE: no explicit unpersist of the previous round's snapshot:
+        # Dataset.unpersist() is a no-op on localCheckpoint-produced
+        # frames (the RDD is persisted directly, not registered with
+        # the CacheManager).  Snapshot RDDs are freed by the
+        # ContextCleaner once the round's references drop; each holds
+        # only the (shrinking) edge set, so peak residency is a few
+        # rounds of O(|E|).
         edges = stepped
-        prev.unpersist()
         if unchanged:
             # fixpoint: disjoint stars (u -> component min).  Labels =
             # star edges plus self-labels for roots and for singleton
-            # nodes (self-loop-only pairs)
+            # nodes (self-loop-only pairs).  Snapshot the result so
+            # every downstream action reads O(|V|) materialized rows
+            # instead of re-running the round lineage + node inventory.
             labels = edges.select(
                 F.col("u").alias("node"), F.col("v").alias("comp")
             )
             roots = all_nodes.join(labels, "node", "left_anti").select(
                 "node", F.col("node").alias("comp")
             )
-            return labels.union(roots)
+            return _snapshot(labels.union(roots))
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} "
         "large-star/small-star rounds; raise max_iters"

@@ -837,3 +837,27 @@ def test_td_ks_distance_empty_digest_is_null(spark):
         td_ks_distance(empty, empty).alias("ks_ee"),
     ).collect()[0]
     assert row["ks_e"] is None and row["ks_ee"] is None
+
+
+def test_grouped_merge_submillisecond_timestamp_keys(spark):
+    """Default to_json renders timestamps with millisecond precision
+    (.SSS), which would silently merge groups whose timestamp keys
+    differ only below the millisecond; the merge stage's key encoding
+    must use the full microsecond precision Spark timestamps carry."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 123)     # .000123
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0, 923)     # .000923 (same ms)
+    rows = [(t0, float(i)) for i in range(10)] + [
+        (t1, float(100 + i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double").repartition(8)
+    merged = tdigest_agg(df, "v", by=["ts"], fanin=2)
+    out = {r["ts"]: r for r in merged.collect()}
+    assert set(out) == {t0, t1}
+    assert out[t0]["total_weight"] == 10
+    assert out[t1]["total_weight"] == 10
+    d0 = serde.decode(bytes(out[t0]["digest"]))
+    d1 = serde.decode(bytes(out[t1]["digest"]))
+    assert d0.quantile(1.0) == 9.0
+    assert d1.quantile(0.0) == 100.0
