@@ -1504,3 +1504,68 @@ def duplicate_span_stats_sql(
         FROM {table} t LEFT JOIN stats s ON t.{id_col} = s.doc
         WHERE t.{text_col} IS NOT NULL
     """
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_count: int = 2,
+    persist_grams: bool = True,
+) -> DataFrame:
+    """The removal half of Lee et al. 2022 exact substring dedup: every
+    duplicated span found by :func:`duplicate_spans` is CUT from the
+    document.  Adds ``text_dedup`` (the surviving words, space-joined)
+    and ``n_cut_tokens`` to the input rows.
+
+    Output text is the shared tokenizer's normalized re-join
+    (lowercase, single spaces) for every row — including rows with
+    nothing cut — so downstream n-gram/statistics passes see one
+    consistent token stream.  NULL-text rows pass through with NULL
+    ``text_dedup``.  Per-doc span lists ride a collect_list aggregate
+    (bounded: spans are disjoint, so a doc carries at most
+    n_words/(n+1)+1 of them); the cut itself is one Catalyst
+    indexed-lambda filter over the words array — no Python.
+    """
+    spans = duplicate_spans(
+        df, text_col, id_col, n, min_count, persist_grams
+    )
+    by_doc = spans.groupBy("doc").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = df.join(
+        by_doc, df[id_col] == by_doc["doc"], "left"
+    ).drop("doc")
+    # bind the words array and the filtered array ONCE as projected
+    # columns (the shingles_frag lesson: lambda bodies are not reliably
+    # CSE'd, and Spark 4's CollapseProject keeps multi-referenced
+    # non-cheap aliases instead of inlining them)
+    out = (
+        joined.withColumn("_w", F.expr(words_frag(text_col, "spark")))
+        .withColumn(
+            "_kept",
+            F.expr(
+                "filter(_w, (_kw, _ki) -> NOT exists(coalesce(_spans, "
+                "array()), _s -> _ki >= _s.span_start"
+                " AND _ki < _s.span_end))"
+            ),
+        )
+        .withColumn(
+            "text_dedup",
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.expr("array_join(_kept, ' ')"),
+            ),
+        )
+        .withColumn(
+            "n_cut_tokens",
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.expr("size(_w) - size(_kept)"),
+            ).cast("long"),
+        )
+        .drop("_spans", "_w", "_kept")
+    )
+    out.persisted_grams = spans.persisted_grams
+    return out

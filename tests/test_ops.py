@@ -2171,3 +2171,73 @@ def test_duplicate_spans_randomized_bruteforce_and_sql_parity(spark):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cut_duplicate_spans(spark):
+    from go_tdigest_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_span_stats,
+        py_words,
+    )
+
+    rows = [
+        (1, "a b c d e a b"),
+        (2, "x c d y"),
+        (3, "zz yy"),
+        (4, None),
+        (5, "q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in cut_duplicate_spans(df, "text", "doc_id", n=2).collect()
+    }
+    # doc1 spans [0,4),[5,7) -> only word 4 ("e") survives
+    assert out[1]["text_dedup"] == "e" and out[1]["n_cut_tokens"] == 6
+    assert out[2]["text_dedup"] == "x y" and out[2]["n_cut_tokens"] == 2
+    assert out[3]["text_dedup"] == "zz yy" and out[3]["n_cut_tokens"] == 0
+    assert out[4]["text_dedup"] is None and out[4]["n_cut_tokens"] is None
+    assert out[5]["text_dedup"] == "q" and out[5]["n_cut_tokens"] == 0
+
+    # randomized: cut output == brute-force removal; n_cut_tokens ==
+    # dup_tokens (cross-operator invariant with duplicate_span_stats)
+    import numpy as np
+
+    rng = np.random.default_rng(91)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = " ".join(rng.choice(vocab, size=10))
+    rrows = []
+    for d in range(60):
+        body = " ".join(rng.choice(vocab, size=int(rng.integers(2, 25))))
+        if d % 4 == 0:
+            body = boiler + " " + body
+        rrows.append((d, body))
+    rdf = spark.createDataFrame(rrows, "doc_id long, text string")
+    n, mc = 3, 2
+    brute = _brute_dup_spans(rrows, n, mc)
+    cut = {
+        r["doc_id"]: r
+        for r in cut_duplicate_spans(
+            rdf, "text", "doc_id", n=n, min_count=mc
+        ).collect()
+    }
+    stats = {
+        r["doc"]: r["dup_tokens"]
+        for r in duplicate_span_stats(
+            rdf, "text", "doc_id", n=n, min_count=mc
+        ).collect()
+    }
+    for d, text in rrows:
+        words = py_words(text)
+        covered = set()
+        for s, e in brute.get(d, (0, 0, []))[2]:
+            covered.update(range(s, e))
+        expect = [w for i, w in enumerate(words) if i not in covered]
+        assert cut[d]["text_dedup"].split(" " ) in ([expect] if expect else [[""], []])
+        assert cut[d]["n_cut_tokens"] == len(covered) == stats[d]
+
+    plan = (
+        cut_duplicate_spans(rdf, "text", "doc_id", n=n, min_count=mc)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
