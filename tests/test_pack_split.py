@@ -375,3 +375,153 @@ def test_fragments_validation(spark):
     p = pack_chunks(df, "n_tok", "doc_id", 4)
     with pytest.raises(ValueError, match="collides"):
         pack_fragments(p.withColumn("frag_len", F.lit(1)), "n_tok", 4)
+
+
+# ------------------------------------------------------- weighted sample
+
+
+def _es_priorities(keys, weights, seed):
+    """Reference E-S priorities: the exact formula the Spark kernel
+    computes (same hash kernel, same numpy log)."""
+    import numpy as np
+
+    from go_tdigest_spark.operators.sample import (
+        _MIX_P,
+        _hash_strings_batch,
+        _nl_batch,
+    )
+
+    h = _nl_batch(_hash_strings_batch([str(k) for k in keys], seed))
+    return -np.log((h + 1.0) / _MIX_P) / np.asarray(weights, dtype=float)
+
+
+def test_weighted_sample_matches_reference(spark):
+    """sample_weighted == the k smallest reference priorities (global
+    and grouped), independent of input partitioning; k >= n keeps all."""
+    from go_tdigest_spark.operators import sample_weighted
+
+    n = 5_000
+    rows = [(i, f"g{i % 4}", float((i * 13) % 97 + 1)) for i in range(n)]
+    df1 = spark.createDataFrame(rows, ["k", "g", "w"])
+    df2 = df1.repartition(11)
+
+    pri = _es_priorities(
+        [r[0] for r in rows], [r[2] for r in rows], seed=5
+    )
+    order = sorted(range(n), key=lambda i: (pri[i], i))
+    want_global = {rows[i][0] for i in order[:50]}
+    got1 = {r["k"] for r in sample_weighted(df1, "k", "w", 50, seed=5).collect()}
+    got2 = {r["k"] for r in sample_weighted(df2, "k", "w", 50, seed=5).collect()}
+    assert got1 == want_global and got2 == want_global
+
+    per_g = {}
+    for i in order:
+        per_g.setdefault(rows[i][1], []).append(rows[i][0])
+    want_grouped = {(g, k) for g, ks in per_g.items() for k in ks[:7]}
+    got_g = {
+        (r["g"], r["k"])
+        for r in sample_weighted(df2, "k", "w", 7, seed=5, by=["g"]).collect()
+    }
+    assert got_g == want_grouped
+
+    # k >= n keeps everything, schema unchanged
+    small = df1.limit(20)
+    out = sample_weighted(small, "k", "w", 10_000, seed=1)
+    assert out.columns == ["k", "g", "w"] and out.count() == 20
+
+    # seed changes the sample
+    got3 = {r["k"] for r in sample_weighted(df1, "k", "w", 50, seed=6).collect()}
+    assert got1 != got3
+
+
+def test_weighted_sample_inclusion_proportional():
+    """k=1 inclusion frequency over many seeds tracks w_i / sum(w) —
+    the E-S guarantee.  Pure reference-kernel check (no Spark): the
+    Spark path is pinned bit-for-bit to this kernel by
+    test_weighted_sample_matches_reference."""
+    import numpy as np
+
+    keys = ["a", "b", "c", "d", "e"]
+    weights = [1.0, 1.0, 2.0, 4.0, 8.0]
+    total = sum(weights)
+    wins = {k: 0 for k in keys}
+    n_seeds = 4_000
+    for seed in range(n_seeds):
+        pri = _es_priorities(keys, weights, seed)
+        wins[keys[int(np.argmin(pri))]] += 1
+    for k, w in zip(keys, weights):
+        assert abs(wins[k] / n_seeds - w / total) < 0.02, (k, wins)
+
+
+def test_weighted_sample_duckdb_parity(spark):
+    """The DuckDB twin selects the identical rows (global + grouped)."""
+    import duckdb
+    import pandas as pd
+
+    from go_tdigest_spark.operators import sample_weighted, sample_weighted_sql
+
+    n = 2_000
+    pdf = pd.DataFrame(
+        {
+            "k": [f"doc{i:05d}" for i in range(n)],
+            "g": [f"s{i % 3}" for i in range(n)],
+            "w": [float((i * 7) % 31 + 1) for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    con = duckdb.connect()
+    con.register("t", pdf)
+
+    got = {r["k"] for r in sample_weighted(df, "k", "w", 40, seed=9).collect()}
+    want = {
+        r[0]
+        for r in con.execute(
+            sample_weighted_sql("t", "k", "w", 40, seed=9)
+        ).fetchall()
+    }
+    assert got == want
+
+    got_g = {
+        (r["g"], r["k"])
+        for r in sample_weighted(df, "k", "w", 11, seed=9, by=["g"]).collect()
+    }
+    want_g = {
+        (r[1], r[0])
+        for r in con.execute(
+            sample_weighted_sql("t", "k", "w", 11, seed=9, by=["g"])
+        ).fetchall()
+    }
+    assert got_g == want_g
+
+
+def test_weighted_sample_guards(spark):
+    """Loud failures: bad k, non-numeric weight, NULL/<=0/NaN weights,
+    reserved column collision, bad key type."""
+    from go_tdigest_spark.operators import sample_weighted
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "k long, w double"
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        sample_weighted(df, "k", "w", 0)
+    with pytest.raises(TypeError, match="integral or float"):
+        sample_weighted(
+            spark.createDataFrame([(1, "x")], "k long, w string"),
+            "k", "w", 1,
+        )
+    with pytest.raises(TypeError, match="integral or string"):
+        sample_weighted(
+            spark.createDataFrame([(1.5, 1.0)], "k double, w double"),
+            "k", "w", 1,
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        sample_weighted(df.withColumn("_pri", F.lit(0.0)), "k", "w", 1)
+    import re
+
+    from py4j.protocol import Py4JJavaError
+
+    for bad in [None, 0.0, -1.0, float("nan"), float("inf")]:
+        bad_df = spark.createDataFrame([(1, 1.0), (2, bad)], "k long, w double")
+        with pytest.raises(Exception) as ei:
+            sample_weighted(bad_df, "k", "w", 1).collect()
+        assert re.search(r"finite and > 0", str(ei.value)), bad
