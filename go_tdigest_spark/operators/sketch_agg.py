@@ -812,3 +812,188 @@ def cms_total(sketch: Column | str) -> Column:
     against ``count(*)`` / ``sum(weight)`` even though point queries are
     overcount-only estimates."""
     return _cms_total_udf(sketch)
+
+
+# ------------------------------------------------- Frequent Directions
+
+
+def fd_partials(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    by: Sequence[str] = (),
+    ell: int = 64,
+) -> DataFrame:
+    """Stage 1 for the Frequent Directions matrix sketch: one FD per
+    (partition x group) over an ``array<float|double>`` embedding
+    column.  Unlike the hashed-scalar sketches this consumes the raw
+    vectors, so it has its own Arrow kernel (same group-slicing
+    discipline as _generic_partials); ``dim`` is the fixed-width
+    contract, validated per batch by the shared _vec_matrix guard.
+    NULL vectors are dropped (matching count(vec) semantics); rows with
+    non-finite values fail loudly in the kernel."""
+    from ..sketches import FrequentDirections
+    from ._batch import group_codes
+    from .ann import _vec_matrix
+
+    by = list(by)
+    pruned = df.where(F.col(vec_col).isNotNull()).select(
+        *[F.col(c) for c in by], F.col(vec_col).alias("_v")
+    )
+    by_fields = [f for f in pruned.schema.fields if f.name in set(by)]
+    schema = StructType(
+        by_fields
+        + [
+            StructField("sketch", BinaryType(), False),
+            StructField("n_rows", LongType(), False),
+        ]
+    )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    out_schema = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema]
+    )
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        accs: dict[tuple, list] = {}
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            combined, uniq, counts, keys, row_order = group_codes(
+                batch, len(by)
+            )
+            mat = _vec_matrix(batch.column(len(by)), n, dim)
+            multi = combined is not None and len(uniq) > 1
+            if multi:
+                mat = mat[row_order]
+                offsets = np.concatenate(([0], np.cumsum(counts))).astype(
+                    np.int64
+                )
+            for g, (key, cnt) in enumerate(zip(keys, counts)):
+                acc = accs.get(key)
+                if acc is None:
+                    acc = [FrequentDirections(ell, dim), 0]
+                    accs[key] = acc
+                sel = (
+                    slice(offsets[g], offsets[g + 1])
+                    if multi
+                    else slice(None)
+                )
+                acc[0].update(mat[sel])
+                acc[1] += int(cnt)
+        if accs:
+            arrays = []
+            items = list(accs.items())
+            for j in range(len(by)):
+                arrays.append(
+                    pa.array(
+                        [k[j] for k, _ in items], type=out_schema.field(j).type
+                    )
+                )
+            arrays.append(
+                pa.array([a[0].to_bytes() for _, a in items], type=pa.binary())
+            )
+            arrays.append(pa.array([a[1] for _, a in items], type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return pruned.mapInArrow(gen, schema)
+
+
+def fd_agg(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    by: Sequence[str] = (),
+    ell: int = 64,
+    fanin: int | None = 64,
+) -> DataFrame:
+    """Distributed Frequent Directions: covariance/spectral sketch of an
+    embedding column per group, through the same salted bounded-fan-in
+    tree merge as every other sketch.  Each partial is O(ell * dim)
+    bytes, so the exchange carries sketches, never vectors; the merged
+    sketch certifies its own spectral error (fd_spectral_bound) and its
+    exact row count / Frobenius mass (fd_rows / fd_fnorm2) stay
+    oracle-checkable against count(*) / sum of squares."""
+    from ..sketches import FrequentDirections
+
+    return _merge_stage(
+        fd_partials(df, vec_col, dim, by, ell),
+        by,
+        FrequentDirections.from_bytes,
+        fanin=fanin,
+    )
+
+
+@pandas_udf(LongType())
+def _fd_rows_udf(s: pd.Series) -> pd.Series:
+    from ..sketches import FrequentDirections
+
+    return s.map(
+        lambda b: None
+        if b is None
+        else FrequentDirections.from_bytes(bytes(b)).n_rows
+    )
+
+
+@pandas_udf(DoubleType())
+def _fd_fnorm2_udf(s: pd.Series) -> pd.Series:
+    from ..sketches import FrequentDirections
+
+    return s.map(
+        lambda b: None
+        if b is None
+        else FrequentDirections.from_bytes(bytes(b)).fnorm2
+    )
+
+
+@pandas_udf(DoubleType())
+def _fd_bound_udf(s: pd.Series) -> pd.Series:
+    from ..sketches import FrequentDirections
+
+    return s.map(
+        lambda b: None
+        if b is None
+        else FrequentDirections.from_bytes(bytes(b)).shrink_total
+    )
+
+
+def fd_rows(sketch: Column | str) -> Column:
+    """EXACT number of vectors absorbed (summed on merge) — the
+    oracle-checkable companion, same role as kll_count/cms_total."""
+    return _fd_rows_udf(sketch)
+
+
+def fd_fnorm2(sketch: Column | str) -> Column:
+    """EXACT squared Frobenius mass ||A||_F^2 (associative float sum;
+    oracle-checkable against sum(x_i^2) within float tolerance)."""
+    return _fd_fnorm2_udf(sketch)
+
+
+def fd_spectral_bound(sketch: Column | str) -> Column:
+    """Certified ||A'A - B'B||_2 bound carried by the sketch (sum of
+    applied shrink deltas; always <= fnorm2 / ell)."""
+    return _fd_bound_udf(sketch)
+
+
+def fd_singular_values(sketch: Column | str, k: int) -> Column:
+    """Top-k singular values of the sketch, as array<double> (each is
+    in [sqrt(max(sigma_j^2 - bound, 0)), sigma_j] of the true value)."""
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        from ..sketches import FrequentDirections
+
+        return s.map(
+            lambda b: None
+            if b is None
+            else [
+                float(x)
+                for x in FrequentDirections.from_bytes(
+                    bytes(b)
+                ).singular_values(k)
+            ]
+        )
+
+    return _udf(sketch)

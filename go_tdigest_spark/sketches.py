@@ -20,7 +20,15 @@ import struct
 
 import numpy as np
 
-__all__ = ["HLL", "BloomFilter", "CountMinSketch", "KLL", "MisraGries", "clz64"]
+__all__ = [
+    "HLL",
+    "BloomFilter",
+    "CountMinSketch",
+    "KLL",
+    "MisraGries",
+    "FrequentDirections",
+    "clz64",
+]
 
 _U64 = np.uint64
 
@@ -542,4 +550,165 @@ class CountMinSketch:
             .reshape(d, w)
             .astype(np.int64)
         )
+        return out
+
+
+class FrequentDirections:
+    """Frequent Directions matrix sketch (Liberty, KDD'13; Ghashami,
+    Liberty, Phillips & Woodruff, SIAM J. Comput. 2016): a mergeable
+    low-rank summary of a tall matrix ``A`` (rows = embedding vectors)
+    as at most ``2*ell`` sketch rows ``B`` with the deterministic
+    covariance guarantee
+
+        0  <=  x'(A'A - B'B)x  <=  shrink_total  <=  ||A||_F^2 / ell
+
+    for every unit vector x — i.e. ``B'B`` underestimates the Gram
+    matrix by at most ``shrink_total`` in spectral norm, and the sketch
+    CARRIES that certified bound (``shrink_total`` is the exact sum of
+    the shrinkage deltas actually applied, not just the worst case).
+
+    Mergeability (the property that makes it a Spark aggregation):
+    concatenating two sketches' rows and re-shrinking keeps the
+    guarantee with the bounds ADDING — proven in Ghashami et al. §3 —
+    so the same partials -> salted tree merge shape as every other
+    sketch in this library applies.  Like KLL/Misra-Gries, the bytes
+    are merge-order dependent; the guarantee (and ``n_rows`` /
+    ``fnorm2``, which are exact sums) are not.
+
+    Uses: dominant directions / anisotropy diagnostics of an embedding
+    corpus, approximate PCA at 100 TB without a d x d Gram shuffle when
+    d is large, drift detection between corpus slices (compare top
+    singular directions).  Cost: O(ell * d) memory, amortized
+    O(m * ell * d) flops per m appended rows (one (2ell x d) SVD every
+    ~ell rows).
+    """
+
+    MAGIC = b"FDS1"
+
+    def __init__(self, ell: int = 64, dim: int = 2) -> None:
+        if ell < 2:
+            raise ValueError("ell must be >= 2")
+        if dim < 1:
+            raise ValueError("dim must be >= 1")
+        self.ell = ell
+        self.dim = dim
+        self.rows = np.zeros((0, dim), dtype=np.float64)
+        self.n_rows = 0
+        self.fnorm2 = 0.0  # exact ||A||_F^2 (associative sum)
+        self.shrink_total = 0.0  # certified ||A'A - B'B||_2 bound
+
+    # ------------------------------------------------------------ update
+
+    def update(self, X: np.ndarray) -> None:
+        """Append rows (m x dim).  Non-finite rows are rejected loudly —
+        one NaN would silently poison every later SVD."""
+        X = np.asarray(X, dtype=np.float64)
+        if X.ndim != 2 or X.shape[1] != self.dim:
+            raise ValueError(f"expected (m, {self.dim}) rows, got {X.shape}")
+        if not np.isfinite(X).all():
+            raise ValueError("FrequentDirections: non-finite row values")
+        m = X.shape[0]
+        if m == 0:
+            return
+        self.n_rows += int(m)
+        self.fnorm2 += float((X * X).sum())
+        cap = 2 * self.ell
+        # append in <= ell-row slices so the buffer never exceeds
+        # cap + ell rows between shrinks (bounded memory at any m)
+        for lo in range(0, m, self.ell):
+            self.rows = np.concatenate([self.rows, X[lo : lo + self.ell]])
+            if self.rows.shape[0] >= cap:
+                self._shrink()
+
+    def _shrink(self) -> None:
+        # delta = ell-th largest squared singular value; every singular
+        # direction j < ell loses exactly delta of squared mass (sorted
+        # desc), so >= ell*delta Frobenius mass is removed per shrink
+        # => sum(delta) <= ||A||_F^2 / ell
+        _, s, vt = np.linalg.svd(self.rows, full_matrices=False)
+        if s.size < self.ell:
+            return
+        delta = float(s[self.ell - 1] ** 2)
+        self.shrink_total += delta
+        s2 = np.maximum(s**2 - delta, 0.0)
+        keep = s2 > 0.0
+        self.rows = np.sqrt(s2[keep])[:, None] * vt[keep]
+
+    # ------------------------------------------------------------- merge
+
+    def merge(self, other: "FrequentDirections") -> "FrequentDirections":
+        if other.ell != self.ell or other.dim != self.dim:
+            raise ValueError(
+                "cannot merge FrequentDirections with different ell/dim"
+            )
+        self.n_rows += other.n_rows
+        self.fnorm2 += other.fnorm2
+        self.shrink_total += other.shrink_total
+        cap = 2 * self.ell
+        orows = other.rows
+        for lo in range(0, orows.shape[0], self.ell):
+            self.rows = np.concatenate([self.rows, orows[lo : lo + self.ell]])
+            if self.rows.shape[0] >= cap:
+                self._shrink()
+        return self
+
+    # ------------------------------------------------------------ queries
+
+    def cov(self) -> np.ndarray:
+        """B'B — the Gram/covariance estimate (d x d; underestimates
+        A'A by at most ``shrink_total`` in spectral norm, never over)."""
+        return self.rows.T @ self.rows
+
+    def singular_values(self, k: int | None = None) -> np.ndarray:
+        """Top-k singular values of the SKETCH (>= sqrt of the true
+        sigma_j^2 - shrink_total, <= the true sigma_j)."""
+        s = np.linalg.svd(self.rows, compute_uv=False)
+        return s if k is None else s[:k]
+
+    def top_directions(self, k: int) -> np.ndarray:
+        """Top-k right singular vectors of the sketch (k x d)."""
+        _, _, vt = np.linalg.svd(self.rows, full_matrices=False)
+        return vt[:k]
+
+    def spectral_bound(self) -> float:
+        """Certified bound on ||A'A - B'B||_2 for THIS run (exact sum
+        of applied shrink deltas; always <= fnorm2 / ell)."""
+        return self.shrink_total
+
+    # -------------------------------------------------------------- serde
+
+    def to_bytes(self) -> bytes:
+        r = self.rows.shape[0]
+        head = struct.pack(
+            "<iiqddi",
+            self.ell,
+            self.dim,
+            self.n_rows,
+            self.fnorm2,
+            self.shrink_total,
+            r,
+        )
+        return b"".join(
+            [self.MAGIC, head, np.ascontiguousarray(self.rows, "<f8").tobytes()]
+        )
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "FrequentDirections":
+        if buf[:4] != cls.MAGIC:
+            raise ValueError("not a FrequentDirections payload")
+        ell, dim, n_rows, fnorm2, shrink_total, r = struct.unpack_from(
+            "<iiqddi", buf, 4
+        )
+        out = cls(ell, dim)
+        out.n_rows = n_rows
+        out.fnorm2 = fnorm2
+        out.shrink_total = shrink_total
+        off = 4 + struct.calcsize("<iiqddi")
+        out.rows = (
+            np.frombuffer(buf, dtype="<f8", count=r * dim, offset=off)
+            .reshape(r, dim)
+            .copy()
+        )
+        if off + 8 * r * dim != len(buf):
+            raise ValueError("trailing bytes in FrequentDirections payload")
         return out

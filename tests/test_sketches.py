@@ -1057,3 +1057,153 @@ def test_kll_merge_pair_algebra(spark):
         "SELECT kll_count(kll_merge_pair(sa, sb)) AS n FROM kll_pair_t"
     ).collect()[0]["n"]
     assert got == 3000
+
+
+# -------------------------------------------------- frequent directions
+
+
+def test_fd_kernel_bound_and_exactness():
+    """FD guarantee: 0 <= x'(A'A - B'B)x <= shrink_total <= ||A||F^2/ell
+    for every x; exact (no shrink) while the buffer holds; n_rows and
+    fnorm2 exact; serde byte-roundtrip; loud guards."""
+    from go_tdigest_spark.sketches import FrequentDirections
+
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(3000, 24)) @ np.diag([12, 9, 7, 4, 3] + [1] * 19)
+    fd = FrequentDirections(10, 24)
+    fd.update(A)
+    G = A.T @ A
+    eigs = np.linalg.eigvalsh(G - fd.cov())
+    assert eigs.min() > -1e-6  # never overestimates
+    assert eigs.max() <= fd.shrink_total + 1e-6  # certified bound
+    assert fd.shrink_total <= fd.fnorm2 / 10 + 1e-9  # paper bound
+    assert fd.n_rows == 3000
+    assert abs(fd.fnorm2 - (A * A).sum()) < 1e-5
+    assert fd.rows.shape[0] <= 2 * 10 and fd.rows.shape[1] == 24
+    # top singular values bracket the truth
+    true_s = np.linalg.svd(A, compute_uv=False)
+    est_s = fd.singular_values(3)
+    for t, e in zip(true_s, est_s):
+        assert e <= t + 1e-6
+        assert e**2 >= t**2 - fd.shrink_total - 1e-6
+
+    # exact while small (buffer below 2*ell: no shrink ever applied)
+    small = FrequentDirections(10, 24)
+    small.update(A[:12])
+    assert small.shrink_total == 0.0
+    assert np.allclose(small.cov(), A[:12].T @ A[:12])
+
+    # serde
+    b = fd.to_bytes()
+    back = FrequentDirections.from_bytes(b)
+    assert back.to_bytes() == b and back.n_rows == fd.n_rows
+    with pytest.raises(ValueError, match="not a FrequentDirections"):
+        FrequentDirections.from_bytes(b"XXXX" + b[4:])
+    with pytest.raises(ValueError, match="trailing"):
+        FrequentDirections.from_bytes(b + b"\x00")
+
+    # guards
+    with pytest.raises(ValueError, match="ell"):
+        FrequentDirections(1, 4)
+    with pytest.raises(ValueError, match="expected"):
+        FrequentDirections(4, 4).update(np.zeros((3, 5)))
+    with pytest.raises(ValueError, match="non-finite"):
+        FrequentDirections(4, 2).update(np.array([[1.0, np.nan]]))
+    with pytest.raises(ValueError, match="different ell"):
+        FrequentDirections(4, 2).merge(FrequentDirections(8, 2))
+
+
+def test_fd_merge_any_order_keeps_bound():
+    """Mergeability (Ghashami et al. SS3): chunked + permuted merge
+    orders all keep the certified bound and the exact sums."""
+    from go_tdigest_spark.sketches import FrequentDirections
+
+    rng = np.random.default_rng(23)
+    A = rng.normal(size=(1500, 16)) * np.linspace(5, 0.5, 16)
+    G = A.T @ A
+    parts = np.array_split(A, 9)
+    import random
+
+    for seed in (0, 1, 2):
+        order = list(range(9))
+        random.Random(seed).shuffle(order)
+        m = FrequentDirections(8, 16)
+        for i in order:
+            p = FrequentDirections(8, 16)
+            p.update(parts[i])
+            m.merge(p)
+        assert m.n_rows == 1500
+        assert abs(m.fnorm2 - (A * A).sum()) < 1e-5
+        eigs = np.linalg.eigvalsh(G - m.cov())
+        assert eigs.min() > -1e-6
+        assert eigs.max() <= m.shrink_total + 1e-6
+        assert m.shrink_total <= m.fnorm2 / 8 + 1e-9
+
+
+def test_fd_spark_agg_embeddings(spark):
+    """fd_agg over the embeddings fixture: exact companions (fd_rows,
+    fd_fnorm2) match SQL; the merged sketch's certified bound holds
+    against the exact Gram matrix; grouped and global forms; tree merge
+    (small fanin) preserves everything."""
+    from go_tdigest_spark.operators import (
+        fd_agg,
+        fd_fnorm2,
+        fd_rows,
+        fd_singular_values,
+        fd_spectral_bound,
+    )
+    from go_tdigest_spark.sketches import FrequentDirections
+
+    emb = table(spark, SF_TINY, "embeddings")
+    rowsd = emb.select("label", "embedding").collect()
+    import collections
+
+    by_label = collections.defaultdict(list)
+    for r in rowsd:
+        by_label[r["label"]].append(r["embedding"])
+
+    # global, forced multi-level tree
+    agg = fd_agg(emb.repartition(8), "embedding", 64, ell=16, fanin=2)
+    out = agg.select(
+        fd_rows("sketch").alias("n"),
+        fd_fnorm2("sketch").alias("f2"),
+        fd_spectral_bound("sketch").alias("bound"),
+        fd_singular_values("sketch", 3).alias("sv"),
+    ).collect()
+    assert len(out) == 1
+    allvecs = np.array(
+        [v for vs in by_label.values() for v in vs], dtype=np.float64
+    )
+    assert out[0]["n"] == allvecs.shape[0]
+    assert np.isclose(out[0]["f2"], (allvecs * allvecs).sum(), rtol=1e-9)
+    G = allvecs.T @ allvecs
+    # reconstruct the sketch to check the matrix-level bound
+    sk = FrequentDirections.from_bytes(
+        bytes(agg.select("sketch").collect()[0]["sketch"])
+    )
+    eigs = np.linalg.eigvalsh(G - sk.cov())
+    assert eigs.min() > -1e-6
+    assert eigs.max() <= out[0]["bound"] + 1e-6
+    assert out[0]["bound"] <= out[0]["f2"] / 16 + 1e-9
+    assert len(out[0]["sv"]) == 3
+
+    # grouped by label
+    got = {
+        r["label"]: r
+        for r in fd_agg(emb, "embedding", 64, by=["label"], ell=16)
+        .select(
+            "label",
+            fd_rows("sketch").alias("n"),
+            fd_fnorm2("sketch").alias("f2"),
+            "sketch",
+        )
+        .collect()
+    }
+    assert set(got) == set(by_label)
+    for lbl, vecs in by_label.items():
+        M = np.asarray(vecs, dtype=np.float64)
+        assert got[lbl]["n"] == M.shape[0]
+        assert np.isclose(got[lbl]["f2"], (M * M).sum(), rtol=1e-9)
+        s = FrequentDirections.from_bytes(bytes(got[lbl]["sketch"]))
+        e = np.linalg.eigvalsh(M.T @ M - s.cov())
+        assert e.min() > -1e-6 and e.max() <= s.shrink_total + 1e-6
