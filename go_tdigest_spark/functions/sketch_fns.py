@@ -28,6 +28,10 @@ from ..operators.sketch_agg import (
     _bloom_might_contain_udf,
     _cms_point_query_udf,
     _cms_total_udf,
+    _fd_bound_udf,
+    _fd_fnorm2_udf,
+    _fd_rows_udf,
+    _fd_singular_values_udf,
     _hll_estimate_udf,
     _kll_cdf_udf,
     _kll_count_udf,
@@ -41,6 +45,10 @@ def register_sketch_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("kll_count", _kll_count_udf)
     spark.udf.register("hll_estimate", _hll_estimate_udf)
     spark.udf.register("cms_total", _cms_total_udf)
+    spark.udf.register("fd_rows", _fd_rows_udf)
+    spark.udf.register("fd_fnorm2", _fd_fnorm2_udf)
+    spark.udf.register("fd_spectral_bound", _fd_bound_udf)
+    spark.udf.register("fd_singular_values", _fd_singular_values_udf)
     # sketch algebra (pair ops share the Column API's module-level UDFs)
     from ..operators.sketch_agg import (
         _bloom_intersect_pair_udf,

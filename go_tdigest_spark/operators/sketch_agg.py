@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DoubleType,
@@ -976,24 +977,24 @@ def fd_spectral_bound(sketch: Column | str) -> Column:
     return _fd_bound_udf(sketch)
 
 
+@pandas_udf(ArrayType(DoubleType()))
+def _fd_singular_values_udf(s: pd.Series, k: pd.Series) -> pd.Series:
+    from ..sketches import FrequentDirections
+
+    kv = k.to_numpy()
+    out = []
+    for b, ki in zip(s, kv):
+        if b is None:
+            out.append(None)
+        else:
+            sv = FrequentDirections.from_bytes(bytes(b)).singular_values(
+                int(ki)
+            )
+            out.append([float(x) for x in sv])
+    return pd.Series(out, index=s.index)
+
+
 def fd_singular_values(sketch: Column | str, k: int) -> Column:
     """Top-k singular values of the sketch, as array<double> (each is
     in [sqrt(max(sigma_j^2 - bound, 0)), sigma_j] of the true value)."""
-    from pyspark.sql.types import ArrayType
-
-    @pandas_udf(ArrayType(DoubleType()))
-    def _udf(s: pd.Series) -> pd.Series:
-        from ..sketches import FrequentDirections
-
-        return s.map(
-            lambda b: None
-            if b is None
-            else [
-                float(x)
-                for x in FrequentDirections.from_bytes(
-                    bytes(b)
-                ).singular_values(k)
-            ]
-        )
-
-    return _udf(sketch)
+    return _fd_singular_values_udf(sketch, F.lit(int(k)))

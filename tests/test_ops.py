@@ -1201,6 +1201,61 @@ def test_sketch_streaming_kll(spark, tmp_path):
         assert rank_err <= 0.02, (rf, rank_err)
 
 
+def test_sketch_streaming_frequent_directions(spark, tmp_path):
+    """Streaming FD: the certified covariance bound and the exact
+    n_rows/fnorm2 companions survive the stream's append-partials +
+    merge-on-read order, grouped by label."""
+    import numpy as np
+
+    from go_tdigest_spark.operators import fd_partials
+    from go_tdigest_spark.sketches import FrequentDirections
+    from go_tdigest_spark.streaming import (
+        read_stream_sketches,
+        sketch_stream_writer,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    emb = table(spark, SF_TINY, "embeddings").select("label", "embedding")
+    emb.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("label int, embedding array<float>")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        sketch_stream_writer(
+            stream,
+            lambda b: fd_partials(b, "embedding", 64, ["label"], ell=16),
+            state,
+            ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = (
+        read_stream_sketches(
+            spark, state, ["label"], FrequentDirections.from_bytes
+        )
+        .toPandas()
+        .set_index("label")
+    )
+    pdf = emb.toPandas()
+    for lbl, grp in pdf.groupby("label"):
+        M = np.array([list(v) for v in grp["embedding"]], dtype=np.float64)
+        sk = FrequentDirections.from_bytes(bytes(merged.loc[lbl]["sketch"]))
+        assert sk.n_rows == M.shape[0]
+        assert np.isclose(sk.fnorm2, (M * M).sum(), rtol=1e-9)
+        eigs = np.linalg.eigvalsh(M.T @ M - sk.cov())
+        assert eigs.min() > -1e-6
+        assert eigs.max() <= sk.shrink_total + 1e-6
+        assert sk.shrink_total <= sk.fnorm2 / 16 + 1e-9
+
+
 # ------------------------------------------- streaming pipeline family
 
 

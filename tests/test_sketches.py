@@ -579,6 +579,30 @@ def test_sketch_sql_function_registration(spark):
     ).collect()[0]["h"]
     assert hit is True
 
+    from go_tdigest_spark.operators import fd_agg
+
+    emb = table(spark, SF_TINY, "embeddings")
+    fd_agg(emb, "embedding", 64, ell=16).createOrReplaceTempView("fd_t")
+    fd_row = spark.sql(
+        "SELECT fd_rows(sketch) n, fd_fnorm2(sketch) f2, "
+        "fd_spectral_bound(sketch) b, fd_singular_values(sketch, 2) sv "
+        "FROM fd_t"
+    ).collect()[0]
+    exact = emb.where("embedding IS NOT NULL").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+        ).alias("f2"),
+    ).collect()[0]
+    assert fd_row["n"] == exact["n"]
+    assert abs(fd_row["f2"] - exact["f2"]) / exact["f2"] < 1e-9
+    assert 0.0 <= fd_row["b"] <= fd_row["f2"] / 16 + 1e-9
+    assert len(fd_row["sv"]) == 2 and fd_row["sv"][0] >= fd_row["sv"][1]
+
 
 def test_probe_precision_survives_null_in_batch(spark):
     """One NULL hash in a probe batch must not corrupt the other rows:
