@@ -37,6 +37,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from go_tdigest_spark.functions import (
     td_cdf,
@@ -46,6 +47,7 @@ from go_tdigest_spark.functions import (
 )
 from go_tdigest_spark.functions import text as T
 from go_tdigest_spark.operators import (
+    aggregate,
     ann,
     asof,
     dedup,
@@ -145,7 +147,12 @@ def _q_td_cdf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CDF error IS rank error, so the published bound applies directly);
     the interquartile mean hashes as membership in the exact
     [percentile(0.2), percentile(0.8)] interval (the true IQM lies in
-    [p25, p75]; the widened window absorbs digest rank error)."""
+    [p25, p75]; the widened window absorbs digest rank error); ok_rank
+    gates the tdigest_rank operator (per-row percentile rank via
+    broadcast digest + grouped-decode CDF kernel) against the exact
+    per-group mid-rank ((#lt + #eq/2)/n — value has 2-decimal ties, so
+    the <=-rank convention would be off by half the tie mass) at the
+    same 0.015 rank-error budget, for EVERY row of the group."""
     ev = table(spark, sf_dir, "events")
     d = tdigest_agg(ev, "value", by=["event_type"])
     est = d.select(
@@ -163,7 +170,25 @@ def _q_td_cdf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg((F.col("value") <= 100.0).cast("double")).alias("_f100"),
         F.expr("percentile(value, array(0.2D, 0.8D))").alias("_pb"),
     )
-    return est.join(exact, "event_type").select(
+    ranked = aggregate.tdigest_rank(
+        vals.select("event_type", "value"), "value", by=["event_type"]
+    )
+    w_grp = W.partitionBy("event_type")
+    mid = (
+        F.cume_dist().over(w_grp.orderBy("value"))
+        - F.count(F.lit(1)).over(W.partitionBy("event_type", "value"))
+        / (F.lit(2.0) * F.count(F.lit(1)).over(w_grp))
+    )
+    rank_ok = (
+        ranked.withColumn("_mid", mid)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.abs(F.col("pct_rank") - F.col("_mid")) <= 0.015).alias(
+                "ok_rank"
+            )
+        )
+    )
+    return est.join(exact, "event_type").join(rank_ok, "event_type").select(
         "event_type",
         "n",
         "min_value",
@@ -174,6 +199,7 @@ def _q_td_cdf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_iqm") >= F.element_at("_pb", 1))
             & (F.col("_iqm") <= F.element_at("_pb", 2))
         ).alias("ok_iqm"),
+        "ok_rank",
     )
 
 

@@ -3,6 +3,7 @@ from .udtf_fns import register_udtfs
 from .tdigest_fns import (
     register_sql_functions,
     td_cdf,
+    td_cdf_col,
     td_centroids,
     td_count,
     td_from_ref_bytes,
@@ -10,6 +11,7 @@ from .tdigest_fns import (
     td_merge_pair,
     td_ncentroids,
     td_quantile,
+    td_quantile_col,
     td_to_ref_bytes,
     td_trimmed_mean,
 )
@@ -19,6 +21,7 @@ __all__ = [
     "register_sql_functions",
     "register_sketch_sql_functions",
     "td_cdf",
+    "td_cdf_col",
     "td_centroids",
     "td_count",
     "td_from_ref_bytes",
@@ -26,6 +29,7 @@ __all__ = [
     "td_merge_pair",
     "td_ncentroids",
     "td_quantile",
+    "td_quantile_col",
     "td_to_ref_bytes",
     "td_trimmed_mean",
 ]

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from .. import serde
 
@@ -66,6 +67,54 @@ def td_cdf(digest: Column | str, x) -> Column:
         return _map_digests(s, lambda d: d.cdf(xf))
 
     return _f(digest)
+
+
+# DataType instance, not the "double" DDL string: module-level
+# decoration runs at import time, before any SparkSession exists, and
+# the string form needs the JVM parser
+@pandas_udf(DoubleType())
+def _td_cdf_col_udf(s: pd.Series, x: pd.Series) -> pd.Series:
+    # one decode per DISTINCT digest per batch, vectorized evaluation
+    # over each digest's row slice: the per-row-argument hot path (e.g.
+    # tdigest_rank joins one digest against millions of fact rows — a
+    # decode per row would dominate).  NULL digest or NULL x -> NULL.
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    live = (~s.isna()) & (~pd.isna(x))
+    if live.any():
+        sl = s[live]
+        xl = pd.to_numeric(x[live]).astype(float)
+        for buf, idx in sl.groupby(sl.map(bytes)).groups.items():
+            d = serde.decode(buf)
+            vals = np.atleast_1d(d.cdf(xl.loc[idx].to_numpy()))
+            out.loc[idx] = [float(v) for v in vals]
+    return out
+
+
+@pandas_udf(DoubleType())
+def _td_quantile_col_udf(s: pd.Series, q: pd.Series) -> pd.Series:
+    # same grouped-decode discipline as _td_cdf_col_udf
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    live = (~s.isna()) & (~pd.isna(q))
+    if live.any():
+        sl = s[live]
+        ql = pd.to_numeric(q[live]).astype(float)
+        for buf, idx in sl.groupby(sl.map(bytes)).groups.items():
+            d = serde.decode(buf)
+            vals = np.atleast_1d(d.quantile(ql.loc[idx].to_numpy()))
+            out.loc[idx] = [float(v) for v in vals]
+    return out
+
+
+def td_cdf_col(digest: Column | str, x: Column) -> Column:
+    """CDF evaluated at a PER-ROW ``x`` column (td_cdf takes a scalar).
+    One decode per distinct digest per batch — safe to call on a fact
+    table that repeats a group digest across millions of rows."""
+    return _td_cdf_col_udf(digest, x)
+
+
+def td_quantile_col(digest: Column | str, q: Column) -> Column:
+    """Quantile at a PER-ROW ``q`` column; see td_cdf_col."""
+    return _td_quantile_col_udf(digest, q)
 
 
 def td_trimmed_mean(digest: Column | str, p1: float, p2: float) -> Column:
@@ -221,23 +270,10 @@ def register_sql_functions(spark: SparkSession) -> None:
     """Register SQL-callable variants (q/x/p as columns, e.g.
     ``td_quantile(digest, 0.99)`` inside spark.sql)."""
 
-    @pandas_udf("double")
-    def td_quantile_sql(s: pd.Series, q: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None if b is None else serde.decode(bytes(b)).quantile(float(qv))
-                for b, qv in zip(s, q)
-            ]
-        )
-
-    @pandas_udf("double")
-    def td_cdf_sql(s: pd.Series, x: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None if b is None else serde.decode(bytes(b)).cdf(float(xv))
-                for b, xv in zip(s, x)
-            ]
-        )
+    # q/x-as-column variants share the module-level grouped-decode UDFs
+    # (one decode per distinct digest per batch; NULL-arg -> NULL)
+    td_quantile_sql = _td_quantile_col_udf
+    td_cdf_sql = _td_cdf_col_udf
 
     @pandas_udf("double")
     def td_trimmed_mean_sql(s: pd.Series, p1: pd.Series, p2: pd.Series) -> pd.Series:

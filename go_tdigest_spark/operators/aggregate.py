@@ -337,6 +337,51 @@ def tdigest_bucket(
     ).drop("_bounds")
 
 
+def tdigest_rank(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    compression: float = 100.0,
+    fanin: int | None = 64,
+    rank_col: str = "pct_rank",
+) -> DataFrame:
+    """Per-row approximate percentile rank within its group — the
+    feature-normalization step of a curation pipeline (e.g. quality
+    percentile within source, so thresholds compare across sources with
+    different score distributions).  ``rank_col`` = CDF(value) of the
+    group's digest, in [0, 1], within t-digest rank error
+    (~1/compression interior, tighter at the tails).
+
+    Plan: one digest per group (the salted-tree pipeline), broadcast
+    back (O(groups) rows of O(compression) bytes), one map-side join,
+    and a grouped-decode CDF kernel (td_cdf_col: one decode per
+    distinct digest per Arrow batch, vectorized evaluation) — two scans,
+    no sort, no row shuffle.  Same join convention as tdigest_bucket:
+    NULL values and NULL group keys get NULL rank.
+    """
+    for c in (rank_col, "_rank_digest"):
+        if c in df.columns:
+            raise ValueError(f"input column {c!r} collides with output")
+    from ..functions.tdigest_fns import td_cdf_col
+
+    by = list(by)
+    digests = tdigest_agg(
+        df, value_col, by=by, compression=compression, fanin=fanin
+    )
+    right = digests.select(*by, F.col("digest").alias("_rank_digest"))
+    if by:
+        joined = df.join(F.broadcast(right), by, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(right))
+    return joined.withColumn(
+        rank_col,
+        F.when(
+            F.col(value_col).isNotNull(),
+            td_cdf_col("_rank_digest", F.col(value_col)),
+        ),
+    ).drop("_rank_digest")
+
+
 def _coarse_merge_bound(
     finest: DataFrame, fanin: int | None, n_units_hint: int | None
 ) -> tuple[DataFrame, int | None]:

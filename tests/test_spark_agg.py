@@ -861,3 +861,98 @@ def test_grouped_merge_submillisecond_timestamp_keys(spark):
     d1 = serde.decode(bytes(out[t1]["digest"]))
     assert d0.quantile(1.0) == 9.0
     assert d1.quantile(0.0) == 100.0
+
+
+def test_tdigest_rank_grouped_bounds(spark, lineitem, lineitem_pd):
+    """Per-row percentile rank within group stays inside the t-digest
+    rank-error bound vs the exact empirical CDF (same 0.015 budget at
+    compression 100 as the td_cdf tests), and the operator preserves
+    row count and input columns."""
+    from go_tdigest_spark.operators import tdigest_rank
+
+    ranked = tdigest_rank(
+        lineitem.select("l_returnflag", "l_extendedprice"),
+        "l_extendedprice",
+        by=["l_returnflag"],
+    )
+    out = ranked.toPandas()
+    assert len(out) == len(lineitem_pd)
+    assert set(out.columns) == {"l_returnflag", "l_extendedprice", "pct_rank"}
+    for flag, grp in out.groupby("l_returnflag"):
+        vals = np.sort(
+            lineitem_pd.loc[
+                lineitem_pd["l_returnflag"] == flag, "l_extendedprice"
+            ].to_numpy()
+        )
+        x = grp["l_extendedprice"].to_numpy()
+        exact = np.searchsorted(vals, x, side="right") / len(vals)
+        err = np.abs(grp["pct_rank"].to_numpy() - exact)
+        # searchsorted-right vs the digest's midpoint convention differ
+        # by at most one rank unit on ties; 0.015 absorbs both
+        assert err.max() < 0.015, float(err.max())
+
+
+def test_tdigest_rank_global_and_nulls(spark):
+    """Global (no groups) form; NULL value -> NULL rank; rank is
+    monotone in the value."""
+    from go_tdigest_spark.operators import tdigest_rank
+
+    rows = [(float(i),) for i in range(200)] + [(None,)]
+    df = spark.createDataFrame(rows, "v double").repartition(4)
+    out = tdigest_rank(df, "v").toPandas()
+    assert len(out) == 201
+    nulls = out[out["v"].isna()]
+    assert len(nulls) == 1 and nulls["pct_rank"].isna().all()
+    live = out.dropna().sort_values("v")
+    r = live["pct_rank"].to_numpy()
+    assert (np.diff(r) >= 0).all()
+    assert abs(r[100] - 0.5) < 0.02
+    # collision guard
+    with pytest.raises(ValueError):
+        tdigest_rank(df.withColumn("pct_rank", F.lit(0.0)), "v")
+
+
+def test_tdigest_rank_plan_broadcasts_digests(spark, lineitem):
+    """The rank join must broadcast the O(groups) digest side — a
+    shuffle of the fact table on group keys would be the scale
+    bottleneck — and the CDF kernel must be Arrow-vectorized (no
+    row-at-a-time BatchEvalPython)."""
+    from go_tdigest_spark.operators import tdigest_rank
+
+    ranked = tdigest_rank(lineitem, "l_extendedprice", by=["l_returnflag"])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_td_cdf_col_and_quantile_col_match_scalar_forms(spark, lineitem):
+    """Grouped-decode per-row-argument kernels agree with the scalar
+    td_cdf/td_quantile UDFs on the same digests, and return NULL for
+    NULL arguments."""
+    from go_tdigest_spark.functions import td_cdf_col, td_quantile_col
+
+    digests = tdigest_agg(lineitem, "l_extendedprice", by=["l_returnflag"])
+    probe = digests.crossJoin(
+        spark.createDataFrame(
+            [(10000.0, 0.25), (30000.0, 0.5), (None, None)], "x double, q double"
+        )
+    )
+    out = probe.select(
+        "l_returnflag",
+        "x",
+        "q",
+        td_cdf_col("digest", F.col("x")).alias("c_col"),
+        td_quantile_col("digest", F.col("q")).alias("q_col"),
+        td_cdf("digest", 10000.0).alias("c10k"),
+        td_cdf("digest", 30000.0).alias("c30k"),
+        td_quantile("digest", 0.25).alias("p25"),
+        td_quantile("digest", 0.5).alias("p50"),
+    ).toPandas()
+    for _, row in out.iterrows():
+        if pd.isna(row["x"]):
+            assert pd.isna(row["c_col"]) and pd.isna(row["q_col"])
+        else:
+            want_c = row["c10k"] if row["x"] == 10000.0 else row["c30k"]
+            want_q = row["p25"] if row["q"] == 0.25 else row["p50"]
+            assert row["c_col"] == pytest.approx(want_c, abs=1e-12)
+            assert row["q_col"] == pytest.approx(want_q, abs=1e-12)
