@@ -910,12 +910,28 @@ def _q_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     union/intersection cardinalities hash directly; the union estimate
     hashes as a 5%-of-union bound check and the intersection estimate —
     which inherits three estimates' errors — as a 12%-of-union + 8
-    bound (the pytest bound rescaled to the union)."""
+    bound (the pytest bound rescaled to the union).
+
+    Theta/KMV columns (round 4): the same cohorts through theta_agg
+    (k=4096) and its CLOSED set algebra — union, intersection, and
+    A\\B each a sketch with its own estimate.  Theta is the fix for
+    HLL's intersection caveat (inclusion-exclusion error scales with
+    the UNION), so its bounds are tighter: 5%-of-union for the union
+    estimate, 5%-of-union + 8 for intersection and difference — and
+    below k distincts the sketches are provably EXACT, making every
+    ok_theta_* check an equality at the driver's SF.  exact_click_users is the A-side
+    exact distinct count (hashes directly; also the A\\B companion:
+    exact diff = exact_click_users - exact_common)."""
     from go_tdigest_spark.operators import (
         hll_agg,
         hll_estimate,
         hll_intersect_estimate,
         hll_union_pair,
+        theta_a_not_b_pair,
+        theta_agg,
+        theta_estimate,
+        theta_intersect_pair,
+        theta_union_pair,
     )
 
     ev = table(spark, sf_dir, "events")
@@ -941,25 +957,62 @@ def _q_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_union = (
         ua.union(ub).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
     )
-    est = a.crossJoin(b).select(
+    # k=4096 > the fixture's distinct-user count: the theta sketches
+    # stay in exact mode, so the ok_theta_* checks certify EQUALITY of
+    # the whole set-algebra path through build/serde/tree-merge/pair
+    # ops (sampling-mode error bounds are pinned in pytest at k<=2048,
+    # where a 5%-of-union driver bound would sit inside 2 sigma of the
+    # k=512 RSE — too tight to be an honest gate)
+    ta = theta_agg(ev.where("event_type = 'click'"), ["user_id"]).select(
+        F.col("sketch").alias("tha")
+    )
+    tb = theta_agg(ev.where("event_type = 'purchase'"), ["user_id"]).select(
+        F.col("sketch").alias("thb")
+    )
+    exact_click = ua.agg(F.count(F.lit(1)).alias("exact_click_users"))
+    est = a.crossJoin(b).crossJoin(ta).crossJoin(tb).select(
         "click_rows",
         "purchase_rows",
         hll_estimate(hll_union_pair("sa", "sb")).alias("_u"),
         hll_intersect_estimate("sa", "sb").alias("_i"),
+        theta_estimate(theta_union_pair("tha", "thb")).alias("_tu"),
+        theta_estimate(theta_intersect_pair("tha", "thb")).alias("_ti"),
+        theta_estimate(theta_a_not_b_pair("tha", "thb")).alias("_td"),
     )
-    return est.crossJoin(exact_union).crossJoin(exact_common).select(
-        "click_rows",
-        "purchase_rows",
-        "exact_union",
-        "exact_common",
-        (
-            F.abs(F.col("_u") - F.col("exact_union"))
-            <= F.col("exact_union") * 0.05
-        ).alias("union_ok"),
-        (
-            F.abs(F.col("_i") - F.col("exact_common"))
-            <= F.col("exact_union") * 0.12 + 8
-        ).alias("common_ok"),
+    return (
+        est.crossJoin(exact_union)
+        .crossJoin(exact_common)
+        .crossJoin(exact_click)
+        .select(
+            "click_rows",
+            "purchase_rows",
+            "exact_union",
+            "exact_common",
+            "exact_click_users",
+            (
+                F.abs(F.col("_u") - F.col("exact_union"))
+                <= F.col("exact_union") * 0.05
+            ).alias("union_ok"),
+            (
+                F.abs(F.col("_i") - F.col("exact_common"))
+                <= F.col("exact_union") * 0.12 + 8
+            ).alias("common_ok"),
+            (
+                F.abs(F.col("_tu") - F.col("exact_union"))
+                <= F.col("exact_union") * 0.05
+            ).alias("ok_theta_union"),
+            (
+                F.abs(F.col("_ti") - F.col("exact_common"))
+                <= F.col("exact_union") * 0.05 + 8
+            ).alias("ok_theta_common"),
+            (
+                F.abs(
+                    F.col("_td")
+                    - (F.col("exact_click_users") - F.col("exact_common"))
+                )
+                <= F.col("exact_union") * 0.05 + 8
+            ).alias("ok_theta_diff"),
+        )
     )
 
 
@@ -1343,7 +1396,8 @@ def oracle_sql() -> dict[str, str]:
                    count(value) AS n,
                    min(value) AS min_value,
                    max(value) AS max_value,
-                   TRUE AS ok_cdf10, TRUE AS ok_cdf100, TRUE AS ok_iqm
+                   TRUE AS ok_cdf10, TRUE AS ok_cdf100, TRUE AS ok_iqm,
+                   TRUE AS ok_rank
             FROM events GROUP BY event_type
         """,
         "td_drift_events": """
@@ -1563,7 +1617,10 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM
                        (SELECT * FROM a INTERSECT SELECT * FROM b))
                        AS exact_common,
-                   TRUE AS union_ok, TRUE AS common_ok
+                   (SELECT count(*) FROM a) AS exact_click_users,
+                   TRUE AS union_ok, TRUE AS common_ok,
+                   TRUE AS ok_theta_union, TRUE AS ok_theta_common,
+                   TRUE AS ok_theta_diff
             FROM ar, br
         """,
         "cms_supplier_freq": """

@@ -1,7 +1,7 @@
 """SQL-callable reads for the auxiliary sketch family.
 
 ``register_sketch_sql_functions(spark)`` exposes the KLL / HLL / CMS /
-Bloom read surface to ``spark.sql`` users, mirroring
+Bloom / Theta read surface to ``spark.sql`` users, mirroring
 ``register_sql_functions`` for the t-digest:
 
     SELECT event_type, hll_estimate(sketch) FROM sketches
@@ -36,6 +36,9 @@ from ..operators.sketch_agg import (
     _kll_cdf_udf,
     _kll_count_udf,
     _kll_quantile_udf,
+    _theta_estimate_udf,
+    _theta_n_retained_udf,
+    _theta_rse_bound_udf,
 )
 
 
@@ -44,6 +47,9 @@ def register_sketch_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("kll_cdf", _kll_cdf_udf)
     spark.udf.register("kll_count", _kll_count_udf)
     spark.udf.register("hll_estimate", _hll_estimate_udf)
+    spark.udf.register("theta_estimate", _theta_estimate_udf)
+    spark.udf.register("theta_n_retained", _theta_n_retained_udf)
+    spark.udf.register("theta_rse_bound", _theta_rse_bound_udf)
     spark.udf.register("cms_total", _cms_total_udf)
     spark.udf.register("fd_rows", _fd_rows_udf)
     spark.udf.register("fd_fnorm2", _fd_fnorm2_udf)
@@ -57,8 +63,14 @@ def register_sketch_sql_functions(spark: SparkSession) -> None:
         _hll_intersect_udf,
         _hll_union_pair_udf,
         _kll_merge_pair_udf,
+        _theta_a_not_b_pair_udf,
+        _theta_intersect_pair_udf,
+        _theta_union_pair_udf,
     )
 
+    spark.udf.register("theta_union_pair", _theta_union_pair_udf)
+    spark.udf.register("theta_intersect_pair", _theta_intersect_pair_udf)
+    spark.udf.register("theta_a_not_b_pair", _theta_a_not_b_pair_udf)
     spark.udf.register("hll_union_pair", _hll_union_pair_udf)
     spark.udf.register("hll_intersect_estimate", _hll_intersect_udf)
     spark.udf.register("bloom_union_pair", _bloom_union_pair_udf)

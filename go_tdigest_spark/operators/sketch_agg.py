@@ -28,7 +28,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sketches import HLL, KLL, BloomFilter, CountMinSketch, MisraGries
+from ..sketches import (
+    HLL,
+    KLL,
+    BloomFilter,
+    CountMinSketch,
+    MisraGries,
+    ThetaSketch,
+)
 
 
 def _hash_cols(cols: Sequence[str], seed_salt: int = 0):
@@ -998,3 +1005,137 @@ def fd_singular_values(sketch: Column | str, k: int) -> Column:
     """Top-k singular values of the sketch, as array<double> (each is
     in [sqrt(max(sigma_j^2 - bound, 0)), sigma_j] of the true value)."""
     return _fd_singular_values_udf(sketch, F.lit(int(k)))
+
+
+# ------------------------------------------------------------ Theta/KMV
+
+
+def theta_partials(
+    df: DataFrame, cols: Sequence[str], by: Sequence[str] = (), k: int = 4096
+) -> DataFrame:
+    """Stage 1: one ThetaSketch per (partition x group) over the tuple
+    ``cols`` (same pre-hashed xxhash64 contract as HLL — a probe or a
+    second cohort built with the same ``cols`` shape is directly
+    algebra-compatible)."""
+    return _generic_partials(
+        df,
+        by,
+        [_hash_cols(cols)],
+        lambda: ThetaSketch(k),
+        lambda s, c: s.update_hashes(c[0]),
+        notnull_cols=cols,
+    )
+
+
+def theta_agg(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+    k: int = 4096,
+    fanin: int | None = 64,
+) -> DataFrame:
+    """Distinct-count + set-algebra sketch of the tuple ``cols`` per
+    group.  vs hll_agg: ~8x bigger sketch at the same relative error,
+    but union/intersection/difference CLOSE over sketches with per-
+    result error bounds (theta_rse_bound) — inclusion-exclusion over
+    HLL estimates cannot bound a small overlap.  Partial size is
+    O(k) = 32 KB at k=4096, constant in row count, so the salted tree's
+    per-reducer fan-in bound carries the same 100-TB posture as HLL."""
+    return _merge_stage(
+        theta_partials(df, cols, by, k), by, ThetaSketch.from_bytes, fanin=fanin
+    )
+
+
+@pandas_udf(DoubleType())
+def _theta_estimate_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda b: None if b is None else ThetaSketch.from_bytes(bytes(b)).estimate()
+    )
+
+
+def theta_estimate(sketch: Column | str) -> Column:
+    """Unbiased distinct-count estimate (exact while the sketch is
+    unsaturated, i.e. fewer than k distincts seen)."""
+    return _theta_estimate_udf(sketch)
+
+
+@pandas_udf(LongType())
+def _theta_n_retained_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda b: None
+        if b is None
+        else ThetaSketch.from_bytes(bytes(b)).n_retained()
+    )
+
+
+def theta_n_retained(sketch: Column | str) -> Column:
+    """Retained-sample size — the quantity that governs the error of a
+    derived (intersection/difference) sketch."""
+    return _theta_n_retained_udf(sketch)
+
+
+@pandas_udf(DoubleType())
+def _theta_rse_bound_udf(s: pd.Series, n_std: pd.Series) -> pd.Series:
+    out = []
+    for b, ns in zip(s, n_std):
+        if b is None or ns is None:
+            out.append(None)
+        else:
+            v = ThetaSketch.from_bytes(bytes(b)).rse_bound(float(ns))
+            out.append(None if v == float("inf") else v)
+    return pd.Series(out, dtype="float64")
+
+
+def theta_rse_bound(sketch: Column | str, n_std: float = 3.0) -> Column:
+    """n_std-sigma RELATIVE error bound on theta_estimate of THIS sketch
+    (0 when exact; NULL when fewer than 2 hashes are retained — the
+    estimate is then unbounded and should be treated as 'no signal')."""
+    return _theta_rse_bound_udf(sketch, F.lit(float(n_std)))
+
+
+def _theta_union_bytes(ba: bytes, bb: bytes) -> bytes:
+    return (
+        ThetaSketch.from_bytes(ba)
+        .merge(ThetaSketch.from_bytes(bb))
+        .to_bytes()
+    )
+
+
+def _theta_intersect_bytes(ba: bytes, bb: bytes) -> bytes:
+    return (
+        ThetaSketch.from_bytes(ba)
+        .intersect(ThetaSketch.from_bytes(bb))
+        .to_bytes()
+    )
+
+
+def _theta_a_not_b_bytes(ba: bytes, bb: bytes) -> bytes:
+    return (
+        ThetaSketch.from_bytes(ba)
+        .a_not_b(ThetaSketch.from_bytes(bb))
+        .to_bytes()
+    )
+
+
+_theta_union_pair_udf = _pair_udf(BinaryType(), _theta_union_bytes, True)
+_theta_intersect_pair_udf = _pair_udf(
+    BinaryType(), _theta_intersect_bytes, False
+)
+_theta_a_not_b_pair_udf = _pair_udf(BinaryType(), _theta_a_not_b_bytes, False)
+
+
+def theta_union_pair(a: Column | str, b: Column | str) -> Column:
+    """A ∪ B as a sketch (associative; NULL identity)."""
+    return _theta_union_pair_udf(a, b)
+
+
+def theta_intersect_pair(a: Column | str, b: Column | str) -> Column:
+    """A ∩ B as a sketch — estimate it with theta_estimate, bound it
+    with theta_rse_bound on the RESULT (retained intersection sample).
+    NULL propagates (unknown set -> unknown overlap)."""
+    return _theta_intersect_pair_udf(a, b)
+
+
+def theta_a_not_b_pair(a: Column | str, b: Column | str) -> Column:
+    """A \\ B as a sketch.  NULL propagates."""
+    return _theta_a_not_b_pair_udf(a, b)

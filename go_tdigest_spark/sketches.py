@@ -27,6 +27,7 @@ __all__ = [
     "KLL",
     "MisraGries",
     "FrequentDirections",
+    "ThetaSketch",
     "clz64",
 ]
 
@@ -711,4 +712,153 @@ class FrequentDirections:
         )
         if off + 8 * r * dim != len(buf):
             raise ValueError("trailing bytes in FrequentDirections payload")
+        return out
+
+
+class ThetaSketch:
+    """Theta sketch (the Theta-Sketch Framework of Dasgupta, Lang,
+    Rhodes & Thaler, 2016; KMV/K'th-Minimum-Value sampling, Bar-Yossef
+    et al. 2002): a uniform hash sample of the DISTINCT elements seen,
+    supporting unbiased cardinality estimation AND closed set algebra —
+    union, intersection, and difference each yield another ThetaSketch
+    whose estimate carries a bound, which is what HLL cannot do
+    (inclusion-exclusion error is the SUM of three estimates' errors, so
+    small overlaps drown; the theta intersection error scales with the
+    intersection sample actually retained).
+
+    State: ``theta`` (exclusive upper bound in u64 hash space, ``None``
+    meaning 2^64 = "exact mode") plus the sorted set of retained
+    distinct hashes, all ``< theta``.  Estimate = |retained| / (theta /
+    2^64): exact while unsaturated, RSE ~ 1/sqrt(k-1) once sampling.
+    Trim rule (QuickSelect convention): when more than ``k`` hashes are
+    retained, theta drops to the (k+1)-th smallest and the k smallest
+    survive.
+
+    Merge/union is associative and order-insensitive (same bytes for
+    any merge tree — pinned in tests): min-theta, set-union, re-trim.
+    Intersection/difference never re-trim (the result is a subsample at
+    min-theta and can only shrink), so estimates stay unbiased.
+
+    Kernel contract: consumes PRE-HASHED int64 values (Spark
+    ``xxhash64``), viewed as uint64 — same as every sketch here.
+    """
+
+    MAGIC = b"THE1"
+    _FULL = 1 << 64  # theta for the unsaturated (exact) sketch
+
+    def __init__(self, k: int = 4096) -> None:
+        if not 16 <= k <= (1 << 26):
+            raise ValueError("k must be in [16, 2^26]")
+        self.k = k
+        self.theta: int | None = None  # None <=> 2^64 (exact mode)
+        self.hashes = np.empty(0, dtype=_U64)  # sorted, distinct
+
+    # ------------------------------------------------------------ build
+
+    def _theta_u(self) -> int:
+        return self._FULL if self.theta is None else self.theta
+
+    def _trim(self) -> None:
+        if len(self.hashes) > self.k:
+            # (k+1)-th smallest becomes the new exclusive bound
+            self.theta = int(self.hashes[self.k])
+            self.hashes = self.hashes[: self.k]
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        u = np.unique(h.astype(np.int64).view(_U64))
+        if self.theta is not None:
+            u = u[u < _U64(self.theta)]
+        if len(u) == 0:
+            return
+        merged = np.union1d(self.hashes, u) if len(self.hashes) else u
+        self.hashes = merged
+        self._trim()
+
+    # ------------------------------------------------------------ algebra
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Union, in place.  ``k`` may differ across operands (the
+        result keeps self's k — union of a k=4096 and a k=1024 sketch is
+        valid at the smaller effective sample)."""
+        th = min(self._theta_u(), other._theta_u())
+        u = np.union1d(self.hashes, other.hashes)
+        if th < self._FULL:
+            u = u[u < _U64(th)]
+            self.theta = th
+        self.hashes = u
+        self._trim()
+        return self
+
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        """A ∩ B as a new sketch (no re-trim: the retained set is an
+        unbiased min-theta subsample of the true intersection)."""
+        out = ThetaSketch(self.k)
+        th = min(self._theta_u(), other._theta_u())
+        both = np.intersect1d(self.hashes, other.hashes)
+        if th < self._FULL:
+            both = both[both < _U64(th)]
+            out.theta = th
+        out.hashes = both
+        return out
+
+    def a_not_b(self, other: "ThetaSketch") -> "ThetaSketch":
+        """A \\ B as a new sketch (same min-theta subsample argument)."""
+        out = ThetaSketch(self.k)
+        th = min(self._theta_u(), other._theta_u())
+        only = np.setdiff1d(self.hashes, other.hashes)
+        if th < self._FULL:
+            only = only[only < _U64(th)]
+            out.theta = th
+        out.hashes = only
+        return out
+
+    # ------------------------------------------------------------ reads
+
+    def estimate(self) -> float:
+        if self.theta is None:
+            return float(len(self.hashes))  # exact
+        return float(len(self.hashes)) * self._FULL / self.theta
+
+    def is_exact(self) -> bool:
+        return self.theta is None
+
+    def n_retained(self) -> int:
+        return len(self.hashes)
+
+    def rse_bound(self, n_std: float = 3.0) -> float:
+        """Relative standard error x ``n_std`` on ``estimate()``:
+        0 in exact mode, else n_std/sqrt(retained - 1) (the KMV RSE with
+        the actually-retained sample size, which for intersections and
+        differences is what governs — not the nominal k)."""
+        if self.theta is None:
+            return 0.0
+        r = len(self.hashes)
+        if r < 2:
+            return float("inf")
+        return float(n_std) / np.sqrt(r - 1.0)
+
+    # ------------------------------------------------------------ serde
+
+    def to_bytes(self) -> bytes:
+        sat = 0 if self.theta is None else 1
+        head = struct.pack(
+            "<BIQI",
+            sat,
+            self.k,
+            0 if self.theta is None else self.theta,
+            len(self.hashes),
+        )
+        return self.MAGIC + head + self.hashes.astype("<u8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "ThetaSketch":
+        if buf[:4] != cls.MAGIC:
+            raise ValueError("not a ThetaSketch payload")
+        sat, k, th, n = struct.unpack_from("<BIQI", buf, 4)
+        out = cls(k)
+        out.theta = th if sat else None
+        out.hashes = (
+            np.frombuffer(buf, dtype="<u8", count=n, offset=4 + 17)
+            .astype(_U64, copy=True)
+        )
         return out

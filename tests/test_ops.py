@@ -2296,3 +2296,56 @@ def test_cut_duplicate_spans(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_sketch_streaming_theta(spark, tmp_path):
+    """Streaming theta sketches through the generic append-partials
+    writer: stream == batch EXACTLY (theta's union is order-insensitive
+    in its bytes, so the merged stream sketch supports the same set
+    algebra as a batch build)."""
+    from go_tdigest_spark.operators import theta_partials
+    from go_tdigest_spark.sketches import ThetaSketch
+    from go_tdigest_spark.streaming import (
+        read_stream_sketches,
+        sketch_stream_writer,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ev = table(spark, SF_TINY, "events").select("event_type", "user_id")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        sketch_stream_writer(
+            stream,
+            lambda b: theta_partials(b, ["user_id"], ["event_type"], k=128),
+            state,
+            ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = (
+        read_stream_sketches(spark, state, ["event_type"], ThetaSketch.from_bytes)
+        .toPandas()
+        .set_index("event_type")
+    )
+    from go_tdigest_spark.operators import theta_agg
+
+    batch = (
+        theta_agg(ev, ["user_id"], by=["event_type"], k=128)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert set(merged.index) == set(batch.index)
+    for et in merged.index:
+        assert bytes(merged.loc[et]["sketch"]) == bytes(batch.loc[et]["sketch"])
+        assert merged.loc[et]["n_rows"] == batch.loc[et]["n_rows"]

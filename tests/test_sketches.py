@@ -1231,3 +1231,206 @@ def test_fd_spark_agg_embeddings(spark):
         s = FrequentDirections.from_bytes(bytes(got[lbl]["sketch"]))
         e = np.linalg.eigvalsh(M.T @ M - s.cov())
         assert e.min() > -1e-6 and e.max() <= s.shrink_total + 1e-6
+
+
+# ---------------------------------------------------------- Theta/KMV
+
+
+def _theta_hashes(rng, n):
+    # full-range uint64 viewed as int64 — the shape xxhash64 delivers
+    return rng.integers(0, 2**64, size=n, dtype=np.uint64).view(np.int64)
+
+
+def test_theta_kernel_exact_estimate_serde():
+    from go_tdigest_spark.sketches import ThetaSketch
+
+    rng = np.random.default_rng(11)
+    # exact mode below k
+    small = _theta_hashes(rng, 1000)
+    sk = ThetaSketch(k=4096)
+    sk.update_hashes(small)
+    assert sk.is_exact()
+    assert sk.estimate() == len(np.unique(small))
+    assert sk.rse_bound() == 0.0
+    # sampling mode: estimate within 3*RSE of the true distinct count
+    big = _theta_hashes(rng, 300_000)
+    sk2 = ThetaSketch(k=2048)
+    for i in range(0, len(big), 7331):
+        sk2.update_hashes(big[i : i + 7331])
+    true = len(np.unique(big))
+    rel = abs(sk2.estimate() - true) / true
+    assert rel < sk2.rse_bound(3.0), (rel, sk2.rse_bound(3.0))
+    assert sk2.n_retained() == 2048
+    # serde round-trip is bitwise
+    rt = ThetaSketch.from_bytes(sk2.to_bytes())
+    assert rt.to_bytes() == sk2.to_bytes()
+    assert rt.estimate() == sk2.estimate()
+    with pytest.raises(ValueError):
+        ThetaSketch(k=8)
+    with pytest.raises(ValueError):
+        ThetaSketch.from_bytes(b"XXXX" + b"\x00" * 20)
+
+
+def test_theta_merge_any_order_bitwise():
+    """Union is associative AND order-insensitive in its BYTES (unlike
+    KLL/MG): any merge tree over the same partials yields the identical
+    sketch — the property that makes tree depth irrelevant."""
+    import random
+
+    from go_tdigest_spark.sketches import ThetaSketch
+
+    rng = np.random.default_rng(5)
+    parts = []
+    for _ in range(17):
+        p = ThetaSketch(k=512)
+        p.update_hashes(_theta_hashes(rng, 9000))
+        parts.append(p.to_bytes())
+
+    def chain(bufs):
+        acc = ThetaSketch(k=512)
+        for b in bufs:
+            acc.merge(ThetaSketch.from_bytes(b))
+        return acc.to_bytes()
+
+    want = chain(parts)
+    for seed in (1, 2, 3):
+        random.seed(seed)
+        sh = parts[:]
+        random.shuffle(sh)
+        assert chain(sh) == want
+
+
+def test_theta_set_algebra_kernel():
+    from go_tdigest_spark.sketches import ThetaSketch
+
+    rng = np.random.default_rng(23)
+    universe = _theta_hashes(rng, 250_000)
+    a_vals, b_vals = universe[:150_000], universe[100_000:]
+    A = ThetaSketch(4096)
+    A.update_hashes(a_vals)
+    B = ThetaSketch(4096)
+    B.update_hashes(b_vals)
+    au, bu = np.unique(a_vals), np.unique(b_vals)
+    cases = [
+        (ThetaSketch.from_bytes(A.to_bytes()).merge(B), len(np.union1d(au, bu))),
+        (A.intersect(B), len(np.intersect1d(au, bu))),
+        (A.a_not_b(B), len(np.setdiff1d(au, bu))),
+        (B.a_not_b(A), len(np.setdiff1d(bu, au))),
+    ]
+    for sk, true in cases:
+        rel = abs(sk.estimate() - true) / true
+        assert rel < sk.rse_bound(3.0), (rel, sk.rse_bound(3.0), true)
+    # empty intersection of disjoint cohorts estimates ~0 with few hits
+    C = ThetaSketch(4096)
+    C.update_hashes(_theta_hashes(rng, 50_000))
+    D = ThetaSketch(4096)
+    D.update_hashes(_theta_hashes(rng, 50_000))
+    assert C.intersect(D).n_retained() <= 2  # collisions only
+
+
+def test_theta_agg_spark_exact_and_sampling(spark):
+    from go_tdigest_spark.operators import theta_agg, theta_estimate
+
+    ev = table(spark, SF_TINY, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    # k large enough to stay exact at this SF: estimates are EXACT
+    res = (
+        theta_agg(ev, ["user_id"], by=["event_type"], k=4096)
+        .select("event_type", theta_estimate("sketch").alias("est"))
+        .toPandas()
+    )
+    for _, row in res.iterrows():
+        assert row["est"] == exact[row["event_type"]]
+    # small k forces sampling through the salted tree; bound still holds
+    from go_tdigest_spark.operators import theta_rse_bound
+
+    res2 = (
+        theta_agg(ev, ["user_id"], by=["event_type"], k=64, fanin=2)
+        .select(
+            "event_type",
+            theta_estimate("sketch").alias("est"),
+            theta_rse_bound("sketch", 4.0).alias("bound"),
+        )
+        .toPandas()
+    )
+    for _, row in res2.iterrows():
+        want = exact[row["event_type"]]
+        # <=: a group with fewer distincts than k stays exact (bound 0)
+        assert abs(row["est"] - want) / want <= row["bound"]
+
+
+def test_theta_pair_algebra_spark(spark):
+    from go_tdigest_spark.operators import (
+        theta_a_not_b_pair,
+        theta_agg,
+        theta_estimate,
+        theta_intersect_pair,
+        theta_n_retained,
+        theta_union_pair,
+    )
+
+    da = spark.createDataFrame([(i,) for i in range(2000)], "v long")
+    db = spark.createDataFrame([(i,) for i in range(1000, 4000)], "v long")
+    sa = theta_agg(da, ["v"]).select(F.col("sketch").alias("sa"))
+    sb = theta_agg(db, ["v"]).select(F.col("sketch").alias("sb"))
+    row = (
+        sa.crossJoin(sb)
+        .select(
+            theta_estimate(theta_union_pair("sa", "sb")).alias("u"),
+            theta_estimate(theta_intersect_pair("sa", "sb")).alias("i"),
+            theta_estimate(theta_a_not_b_pair("sa", "sb")).alias("d"),
+            theta_n_retained("sa").alias("ra"),
+            theta_estimate(
+                theta_union_pair("sa", F.lit(None).cast("binary"))
+            ).alias("u_null"),
+            theta_estimate(
+                theta_intersect_pair("sa", F.lit(None).cast("binary"))
+            ).alias("i_null"),
+        )
+        .collect()[0]
+    )
+    # both cohorts below k=4096 -> EXACT set algebra, no error at all
+    assert row["u"] == 4000.0
+    assert row["i"] == 1000.0
+    assert row["d"] == 1000.0
+    assert row["ra"] == 2000
+    assert row["u_null"] == 2000.0  # NULL is the union identity
+    assert row["i_null"] is None  # NULL propagates through intersection
+
+
+def test_theta_sql_callable(spark):
+    from go_tdigest_spark.functions import register_sketch_sql_functions
+    from go_tdigest_spark.operators import theta_agg
+
+    register_sketch_sql_functions(spark)
+    ev = table(spark, SF_TINY, "events")
+    theta_agg(ev, ["user_id"], by=["event_type"], k=256).createOrReplaceTempView(
+        "theta_ev"
+    )
+    out = spark.sql(
+        """
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               theta_estimate(theta_intersect_pair(a.sketch, b.sketch)) AS i,
+               theta_estimate(theta_union_pair(a.sketch, b.sketch)) AS u,
+               theta_rse_bound(theta_intersect_pair(a.sketch, b.sketch), 4.0)
+                   AS bound_i,
+               theta_n_retained(a.sketch) AS ra
+        FROM theta_ev a JOIN theta_ev b ON a.event_type < b.event_type
+        """
+    ).toPandas()
+    assert len(out) > 0
+    ev_pd = ev.select("event_type", "user_id").toPandas()
+    by_type = {
+        t: set(g["user_id"].dropna()) for t, g in ev_pd.groupby("event_type")
+    }
+    for _, r in out.iterrows():
+        ti = len(by_type[r["ta"]] & by_type[r["tb"]])
+        tu = len(by_type[r["ta"]] | by_type[r["tb"]])
+        assert abs(r["u"] - tu) / tu < 0.5  # k=256: loose sanity
+        if ti and np.isfinite(r["bound_i"]) and r["bound_i"] is not None:
+            assert abs(r["i"] - ti) / ti < max(float(r["bound_i"]), 0.5)
