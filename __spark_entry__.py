@@ -170,15 +170,26 @@ def _q_td_cdf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg((F.col("value") <= 100.0).cast("double")).alias("_f100"),
         F.expr("percentile(value, array(0.2D, 0.8D))").alias("_pb"),
     )
+    # rank is a function of (group, value) only, so checking every
+    # DISTINCT (event_type, value) pair with its multiplicity is
+    # row-for-row equivalent to a per-row check — a hash agg + one tiny
+    # window instead of three windows over the full table.  The digests
+    # are the FULL-table digests (passed in via digests=, the stored-
+    # sketch ranking path), so tdigest_rank's broadcast-join + CDF
+    # kernel still runs end-to-end.
+    distinct_vals = vals.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
     ranked = aggregate.tdigest_rank(
-        vals.select("event_type", "value"), "value", by=["event_type"]
+        distinct_vals,
+        "value",
+        by=["event_type"],
+        digests=d.select("event_type", "digest"),
     )
-    w_grp = W.partitionBy("event_type")
+    w_ord = W.partitionBy("event_type").orderBy("value")
     mid = (
-        F.cume_dist().over(w_grp.orderBy("value"))
-        - F.count(F.lit(1)).over(W.partitionBy("event_type", "value"))
-        / (F.lit(2.0) * F.count(F.lit(1)).over(w_grp))
-    )
+        F.sum("_cnt").over(w_ord) - F.col("_cnt") / 2.0
+    ) / F.sum("_cnt").over(W.partitionBy("event_type"))
     rank_ok = (
         ranked.withColumn("_mid", mid)
         .groupBy("event_type")

@@ -344,6 +344,7 @@ def tdigest_rank(
     compression: float = 100.0,
     fanin: int | None = 64,
     rank_col: str = "pct_rank",
+    digests: DataFrame | None = None,
 ) -> DataFrame:
     """Per-row approximate percentile rank within its group — the
     feature-normalization step of a curation pipeline (e.g. quality
@@ -351,6 +352,13 @@ def tdigest_rank(
     different score distributions).  ``rank_col`` = CDF(value) of the
     group's digest, in [0, 1], within t-digest rank error
     (~1/compression interior, tighter at the tails).
+
+    ``digests``: optional precomputed digest table (columns ``by... ,
+    digest``, e.g. a stored tdigest_agg result).  The production
+    pattern: rank TODAY'S rows against LAST WEEK'S distribution without
+    rescanning last week — and when ranking a frame against itself
+    twice (estimates + rank), build the digests once and pass them in.
+    Default (None) builds digests from ``df`` itself.
 
     Plan: one digest per group (the salted-tree pipeline), broadcast
     back (O(groups) rows of O(compression) bytes), one map-side join,
@@ -365,9 +373,14 @@ def tdigest_rank(
     from ..functions.tdigest_fns import td_cdf_col
 
     by = list(by)
-    digests = tdigest_agg(
-        df, value_col, by=by, compression=compression, fanin=fanin
-    )
+    if digests is None:
+        digests = tdigest_agg(
+            df, value_col, by=by, compression=compression, fanin=fanin
+        )
+    else:
+        missing = {*by, "digest"} - set(digests.columns)
+        if missing:
+            raise ValueError(f"digests is missing columns {sorted(missing)}")
     right = digests.select(*by, F.col("digest").alias("_rank_digest"))
     if by:
         joined = df.join(F.broadcast(right), by, "left")

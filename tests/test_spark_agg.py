@@ -956,3 +956,37 @@ def test_td_cdf_col_and_quantile_col_match_scalar_forms(spark, lineitem):
             want_q = row["p25"] if row["q"] == 0.25 else row["p50"]
             assert row["c_col"] == pytest.approx(want_c, abs=1e-12)
             assert row["q_col"] == pytest.approx(want_q, abs=1e-12)
+
+
+def test_tdigest_rank_precomputed_digests(spark, lineitem):
+    """digests= (stored-sketch ranking path) must agree exactly with the
+    self-build path, and validate its schema."""
+    from go_tdigest_spark.operators import tdigest_rank
+
+    li = lineitem.select("l_returnflag", "l_extendedprice")
+    d = tdigest_agg(li, "l_extendedprice", by=["l_returnflag"])
+    a = (
+        tdigest_rank(li, "l_extendedprice", by=["l_returnflag"])
+        .toPandas()
+        .sort_values(["l_returnflag", "l_extendedprice"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tdigest_rank(
+            li,
+            "l_extendedprice",
+            by=["l_returnflag"],
+            digests=d.select("l_returnflag", "digest"),
+        )
+        .toPandas()
+        .sort_values(["l_returnflag", "l_extendedprice"])
+        .reset_index(drop=True)
+    )
+    assert (a["pct_rank"] == b["pct_rank"]).all()
+    with pytest.raises(ValueError):
+        tdigest_rank(
+            li,
+            "l_extendedprice",
+            by=["l_returnflag"],
+            digests=d.select("l_returnflag"),
+        )
