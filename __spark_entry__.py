@@ -105,9 +105,49 @@ def _q_td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's published mid-range bound, tdigest_test.go:85-91).  The
     exact-percentile companion is the verification tier only — a
     production read is just the digest reads, no second sort-based agg.
+
+    ok_winsor_lo/hi gate the tdigest_winsorize operator (round 4):
+    clipping at the digest's [0.05, 0.95] must clip a fraction of rows
+    within 0.02 of the nominal 0.05 per tail (0.015 rank bound + tie
+    slack on 2-decimal prices), reusing the estimate arm's digests via
+    digests=.
     """
     li = table(spark, sf_dir, "lineitem")
     d = tdigest_agg(li, "l_extendedprice", by=["l_returnflag"])
+    wz = aggregate.tdigest_winsorize(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_extendedprice",
+        0.05,
+        0.95,
+        by=["l_returnflag"],
+        digests=d.select("l_returnflag", "digest"),
+    )
+    winsor_ok = wz.groupBy("l_returnflag").agg(
+        (
+            F.abs(
+                F.avg(
+                    (
+                        F.col("l_extendedprice_winsorized")
+                        > F.col("l_extendedprice")
+                    ).cast("double")
+                )
+                - 0.05
+            )
+            <= 0.02
+        ).alias("ok_winsor_lo"),
+        (
+            F.abs(
+                F.avg(
+                    (
+                        F.col("l_extendedprice_winsorized")
+                        < F.col("l_extendedprice")
+                    ).cast("double")
+                )
+                - 0.05
+            )
+            <= 0.02
+        ).alias("ok_winsor_hi"),
+    )
     est = d.select(
         "l_returnflag",
         td_count("digest").alias("n"),
@@ -129,7 +169,7 @@ def _q_td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(c) <= F.element_at("_pb", hi)
         )
 
-    return est.join(exact, "l_returnflag").select(
+    return est.join(exact, "l_returnflag").join(winsor_ok, "l_returnflag").select(
         "l_returnflag",
         "n",
         "min_price",
@@ -137,6 +177,8 @@ def _q_td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         _within("_p50", 1, 2).alias("ok_p50"),
         _within("_p95", 3, 4).alias("ok_p95"),
         _within("_p99", 5, 6).alias("ok_p99"),
+        "ok_winsor_lo",
+        "ok_winsor_hi",
     )
 
 
@@ -1399,7 +1441,8 @@ def oracle_sql() -> dict[str, str]:
                    count(l_extendedprice) AS n,
                    min(l_extendedprice) AS min_price,
                    max(l_extendedprice) AS max_price,
-                   TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+                   TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99,
+                   TRUE AS ok_winsor_lo, TRUE AS ok_winsor_hi
             FROM lineitem GROUP BY l_returnflag
         """,
         "td_cdf_events": """

@@ -395,6 +395,150 @@ def tdigest_rank(
     ).drop("_rank_digest")
 
 
+def tdigest_winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    by: Sequence[str] = (),
+    compression: float = 100.0,
+    fanin: int | None = 64,
+    out_col: str | None = None,
+    digests: DataFrame | None = None,
+) -> DataFrame:
+    """Winsorize (clip) ``value_col`` at its group's approximate
+    [p_lo, p_hi] quantiles — outlier capping before a mean/variance/
+    weight computation, without the per-group total sort an exact
+    percentile needs.  Clip points are within t-digest rank error of the
+    exact percentiles; values BETWEEN the clip points pass through
+    bit-identical.  NULL values (and rows whose group has no digest)
+    stay NULL/unclipped respectively; ``digests=`` reuses a stored
+    digest table exactly as in tdigest_rank.
+
+    Plan: the quantile reads run on the O(groups)-row digest table,
+    broadcast back, one map-side join, JVM-side clamp
+    (greatest/least) — one scan of the fact table, no shuffle.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    out_col = out_col or f"{value_col}_winsorized"
+    for c in (out_col, "_w_lo", "_w_hi"):
+        if c in df.columns:
+            raise ValueError(f"input column {c!r} collides with output")
+    from ..functions.tdigest_fns import td_quantile
+
+    by = list(by)
+    if digests is None:
+        digests = tdigest_agg(
+            df, value_col, by=by, compression=compression, fanin=fanin
+        )
+    else:
+        missing = {*by, "digest"} - set(digests.columns)
+        if missing:
+            raise ValueError(f"digests is missing columns {sorted(missing)}")
+    bounds = digests.select(
+        *by,
+        td_quantile("digest", p_lo).alias("_w_lo"),
+        td_quantile("digest", p_hi).alias("_w_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), by, "left")
+        if by
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_w_lo")), F.col("_w_hi"))
+    return joined.withColumn(
+        out_col,
+        # explicit NULL branch first: greatest/least SKIP nulls (they
+        # would resurrect a NULL value as the clip bound itself)
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("double"))
+        .when(F.col("_w_lo").isNotNull(), clipped)
+        .otherwise(F.col(value_col)),
+    ).drop("_w_lo", "_w_hi")
+
+
+def tdigest_normalize(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    compression: float = 100.0,
+    fanin: int | None = 64,
+    out_col: str | None = None,
+    digests: DataFrame | None = None,
+    target_digest: DataFrame | None = None,
+) -> DataFrame:
+    """Quantile normalization across groups: map each value to
+    ``Q_target(CDF_group(x))`` so every group's distribution matches the
+    target — the cross-source score-calibration step of a curation
+    pipeline (a "0.8 quality" from source A and source B mean different
+    things; after normalization equal scores mean equal percentile).
+
+    Default target: the POOLED distribution over all of ``df`` (the
+    merge of the per-group digests — one extra tree level, no second
+    scan).  ``target_digest``: any single-row digest table (column
+    ``digest``), e.g. a reference corpus' stored distribution.
+    Monotone within each group, so group-internal ranking order is
+    preserved (ties at t-digest resolution).  NULL -> NULL.
+
+    Plan: per-group digests (salted tree), pooled/target digest, both
+    broadcast; one map-side join; the two grouped-decode kernels
+    (td_cdf_col then td_quantile_col) — one scan of the fact table, no
+    row shuffle, exchanges carry only O(groups x compression) bytes.
+    """
+    if not by:
+        raise ValueError(
+            "tdigest_normalize needs grouping columns (normalizing a "
+            "single distribution onto itself is the identity)"
+        )
+    out_col = out_col or f"{value_col}_normalized"
+    for c in (out_col, "_n_digest", "_n_target"):
+        if c in df.columns:
+            raise ValueError(f"input column {c!r} collides with output")
+    from ..functions.tdigest_fns import td_cdf_col, td_quantile_col
+
+    by = list(by)
+    if digests is None:
+        digests = tdigest_agg(
+            df, value_col, by=by, compression=compression, fanin=fanin
+        )
+    else:
+        missing = {*by, "digest"} - set(digests.columns)
+        if missing:
+            raise ValueError(f"digests is missing columns {sorted(missing)}")
+    if target_digest is None:
+        need = {"digest", ROWS_COL, WEIGHT_COL}
+        if not need <= set(digests.columns):
+            raise ValueError(
+                "pooled-target normalization merges the per-group digests "
+                f"and needs columns {sorted(need)} on digests=; pass "
+                "target_digest= instead"
+            )
+        # flat merge of the per-group digests: O(groups) rows of
+        # O(compression) bytes through one reducer — fine for any sane
+        # `by`; pass target_digest= for extreme group cardinality
+        target_digest = merge_partials(
+            digests.select("digest", ROWS_COL, WEIGHT_COL), fanin=None
+        )
+    elif "digest" not in target_digest.columns:
+        raise ValueError("target_digest needs a 'digest' column")
+    left = df.join(
+        F.broadcast(digests.select(*by, F.col("digest").alias("_n_digest"))),
+        by,
+        "left",
+    ).crossJoin(
+        F.broadcast(target_digest.select(F.col("digest").alias("_n_target")))
+    )
+    return left.withColumn(
+        out_col,
+        F.when(
+            F.col(value_col).isNotNull(),
+            td_quantile_col(
+                "_n_target", td_cdf_col("_n_digest", F.col(value_col))
+            ),
+        ),
+    ).drop("_n_digest", "_n_target")
+
+
 def _coarse_merge_bound(
     finest: DataFrame, fanin: int | None, n_units_hint: int | None
 ) -> tuple[DataFrame, int | None]:

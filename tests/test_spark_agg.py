@@ -990,3 +990,93 @@ def test_tdigest_rank_precomputed_digests(spark, lineitem):
             by=["l_returnflag"],
             digests=d.select("l_returnflag"),
         )
+
+
+def test_tdigest_winsorize_bounds_and_passthrough(spark, lineitem, lineitem_pd):
+    """Clip points within rank error of the exact percentiles; interior
+    values pass through BIT-IDENTICAL; NULLs stay NULL; guards fire."""
+    from go_tdigest_spark.operators import tdigest_winsorize
+
+    li = lineitem.select("l_returnflag", "l_extendedprice")
+    out = tdigest_winsorize(
+        li, "l_extendedprice", 0.05, 0.95, by=["l_returnflag"]
+    ).toPandas()
+    for flag, g in out.groupby("l_returnflag"):
+        vals = np.sort(
+            lineitem_pd.loc[
+                lineitem_pd["l_returnflag"] == flag, "l_extendedprice"
+            ].to_numpy()
+        )
+        w = g["l_extendedprice_winsorized"].to_numpy()
+        lo, hi = w.min(), w.max()
+        assert abs(np.searchsorted(vals, lo) / len(vals) - 0.05) < 0.015
+        assert abs(np.searchsorted(vals, hi) / len(vals) - 0.95) < 0.015
+        interior = (g["l_extendedprice"] > lo) & (g["l_extendedprice"] < hi)
+        assert (
+            g.loc[interior, "l_extendedprice_winsorized"]
+            == g.loc[interior, "l_extendedprice"]
+        ).all()
+        assert (w >= lo).all() and (w <= hi).all()
+    # NULL passthrough + guards
+    df = spark.createDataFrame([(1.0,), (None,)] * 50, "v double")
+    res = tdigest_winsorize(df, "v", 0.1, 0.9).toPandas()
+    assert res["v_winsorized"].isna().sum() == 50
+    with pytest.raises(ValueError):
+        tdigest_winsorize(df, "v", 0.9, 0.1)
+    with pytest.raises(ValueError):
+        tdigest_winsorize(df.withColumn("v_winsorized", F.lit(0)), "v")
+
+
+def test_tdigest_normalize_matches_target_distribution(spark):
+    """Two groups with very different scales; after normalization each
+    group's quantiles sit within rank error of the POOLED quantiles,
+    and group-internal order is preserved."""
+    from go_tdigest_spark.operators import tdigest_normalize
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(0.0, 1.0, 4000)          # source A: standard normal
+    b = rng.normal(100.0, 25.0, 4000)       # source B: shifted + wide
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "src string, v double").repartition(8)
+    out = tdigest_normalize(df, "v", by=["src"]).toPandas()
+    pooled = np.sort(np.concatenate([a, b]))
+    for src, g in out.groupby("src"):
+        nv = g["v_normalized"].to_numpy()
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+            est = np.quantile(nv, q)
+            rank = np.searchsorted(pooled, est) / len(pooled)
+            # group rank error + target inverse-read error stack
+            assert abs(rank - q) < 0.03, (src, q, rank)
+        # monotone within group
+        gs = g.sort_values("v")
+        assert (np.diff(gs["v_normalized"].to_numpy()) >= 0).all()
+    # NULL -> NULL; by=() rejected; target_digest path
+    dfn = spark.createDataFrame(
+        [("a", 1.0), ("a", None)], "src string, v double"
+    )
+    res = tdigest_normalize(dfn, "v", by=["src"]).toPandas()
+    assert res.loc[res["v"].isna(), "v_normalized"].isna().all()
+    with pytest.raises(ValueError):
+        tdigest_normalize(df, "v", by=[])
+    # explicit target: normalize B onto A's distribution
+    ta = tdigest_agg(df.where("src = 'a'"), "v")
+    out2 = tdigest_normalize(
+        df.where("src = 'b'"), "v", by=["src"], target_digest=ta
+    ).toPandas()
+    med = np.quantile(out2["v_normalized"].to_numpy(), 0.5)
+    rank = np.searchsorted(np.sort(a), med) / len(a)
+    assert abs(rank - 0.5) < 0.03
+
+
+def test_winsorize_normalize_plan_broadcasts(spark, lineitem):
+    from go_tdigest_spark.operators import tdigest_normalize, tdigest_winsorize
+
+    li = lineitem.select("l_returnflag", "l_extendedprice")
+    for op in (
+        tdigest_winsorize(li, "l_extendedprice", by=["l_returnflag"]),
+        tdigest_normalize(li, "l_extendedprice", by=["l_returnflag"]),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+        assert "SortMergeJoin" not in plan
