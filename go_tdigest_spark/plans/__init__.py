@@ -1,4 +1,8 @@
-from .checkpoint import CheckpointedSketchJob
+from .checkpoint import CheckpointedAnySketchJob, CheckpointedSketchJob
 from .sink import write_partitioned
 
-__all__ = ["CheckpointedSketchJob", "write_partitioned"]
+__all__ = [
+    "CheckpointedAnySketchJob",
+    "CheckpointedSketchJob",
+    "write_partitioned",
+]

@@ -141,30 +141,38 @@ class CheckpointedSketchJob:
 
     # -------------------------------------------------------------- run
 
-    def run_epoch(self, epoch: int, files: list[str]) -> None:
-        if not files:
-            # empty epoch: write an empty partials table through Spark's
-            # committer so the _SUCCESS marker lands on any filesystem
-            src = self.spark.read.parquet(self.input_path).limit(0)
-            build_partials(
-                src,
-                self.value_col,
-                self.by,
-                self.compression,
-                explode_arrays=self.explode_arrays,
-            ).withColumn("partition_id", F.spark_partition_id()).withColumn(
-                "wall_started", F.lit(0.0)
-            ).write.mode("overwrite").parquet(self._epoch_dir(epoch))
-            return
-        t0 = time.time()
-        df = self.spark.read.parquet(*files)
-        partials = build_partials(
+    def _build(self, df: DataFrame) -> DataFrame:
+        """Stage-1 partials for one epoch slice (digest flavor; the
+        generic subclass overrides this with any sketch's builder)."""
+        return build_partials(
             df,
             self.value_col,
             self.by,
             self.compression,
             explode_arrays=self.explode_arrays,
         )
+
+    # partial data columns persisted per epoch (beyond `by` + lineage)
+    _data_cols = ("digest", "n_rows", "total_weight")
+
+    def _merge(self, sel: DataFrame, n_units: int | None) -> DataFrame:
+        """Final tree-merge over committed partials (digest flavor)."""
+        return merge_partials(sel, self.by, fanin=self.fanin, n_units=n_units)
+
+    def run_epoch(self, epoch: int, files: list[str]) -> None:
+        if not files:
+            # empty epoch: write an empty partials table through Spark's
+            # committer so the _SUCCESS marker lands on any filesystem
+            src = self.spark.read.parquet(self.input_path).limit(0)
+            self._build(src).withColumn(
+                "partition_id", F.spark_partition_id()
+            ).withColumn(
+                "wall_started", F.lit(0.0)
+            ).write.mode("overwrite").parquet(self._epoch_dir(epoch))
+            return
+        t0 = time.time()
+        df = self.spark.read.parquet(*files)
+        partials = self._build(df)
         # NB: `epoch` is carried by the epoch=K directory (Spark partition
         # discovery re-derives it on read) — not duplicated in the data
         lineage = partials.withColumn(
@@ -203,12 +211,11 @@ class CheckpointedSketchJob:
         # uncommitted directory whose partial contents must never leak
         # into results (_SUCCESS is the commit record on the read path too)
         partials = self.spark.read.parquet(*self._committed_dirs())
-        cols = self.by + ["digest", "n_rows", "total_weight"]
-        sel = partials.select(*cols)
+        sel = partials.select(*(self.by + list(self._data_cols)))
         # storage-read partials: size the tree by partial count, not scan
         # partitions (see _tree.py); parquet count() is metadata-only
         n_units = sel.count() if self.fanin else None
-        return merge_partials(sel, self.by, fanin=self.fanin, n_units=n_units)
+        return self._merge(sel, n_units)
 
     # ----------------------------------------------------------- lineage
 
@@ -218,17 +225,74 @@ class CheckpointedSketchJob:
         )
 
     def metrics(self) -> DataFrame:
-        return (
-            self.lineage()
-            .groupBy("epoch")
-            .agg(
-                F.count(F.lit(1)).alias("n_partials"),
-                F.sum("n_rows").alias("rows"),
-                F.sum("total_weight").alias("weight"),
-                F.countDistinct("partition_id").alias("n_partitions"),
-            )
-            .orderBy("epoch")
-        )
+        lin = self.lineage()
+        aggs = [
+            F.count(F.lit(1)).alias("n_partials"),
+            F.sum("n_rows").alias("rows"),
+            F.countDistinct("partition_id").alias("n_partitions"),
+        ]
+        if "total_weight" in lin.columns:
+            aggs.insert(2, F.sum("total_weight").alias("weight"))
+        return lin.groupBy("epoch").agg(*aggs).orderBy("epoch")
 
     def completed_epochs(self) -> list[int]:
         return [e for e in range(self.n_epochs) if self.epoch_committed(e)]
+
+
+class CheckpointedAnySketchJob(CheckpointedSketchJob):
+    """Checkpoint/resume for ANY mergeable sketch in the family (HLL /
+    CMS / Bloom / KLL / Misra-Gries / Theta / Frequent Directions) —
+    the digest job's epoch mechanics (pinned manifest, _SUCCESS commit
+    records, committed-only reads, lineage + metrics) with the builder
+    and merger injected:
+
+        job = CheckpointedAnySketchJob(
+            spark, path,
+            partials_fn=lambda df: theta_partials(df, ["user_id"],
+                                                  ["event_type"]),
+            by=["event_type"], checkpoint_dir=ckpt,
+            decode=ThetaSketch.from_bytes)
+        sketches = job.run(resume=True)
+
+    ``partials_fn(df)`` must emit stage-1 rows ``by..., sketch binary,
+    n_rows long`` (every ``*_partials`` builder in sketch_agg.py does);
+    ``decode`` turns the bytes back into a mergeable object.  Epoch
+    restart is sound for exactly the same reason as the digest job:
+    merge associativity makes (re)merge order irrelevant, and partials
+    are only ever read from committed epochs.
+    """
+
+    _data_cols = ("sketch", "n_rows")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        partials_fn,
+        by: Sequence[str],
+        checkpoint_dir: str,
+        decode,
+        n_epochs: int = 4,
+        fanin: int | None = 64,
+    ) -> None:
+        super().__init__(
+            spark,
+            input_path,
+            value_col="",  # unused: _build is fully delegated
+            by=by,
+            checkpoint_dir=checkpoint_dir,
+            n_epochs=n_epochs,
+            fanin=fanin,
+        )
+        self.partials_fn = partials_fn
+        self.decode = decode
+
+    def _build(self, df: DataFrame) -> DataFrame:
+        return self.partials_fn(df)
+
+    def _merge(self, sel: DataFrame, n_units: int | None) -> DataFrame:
+        from ..operators.sketch_agg import _merge_stage
+
+        return _merge_stage(
+            sel, self.by, self.decode, fanin=self.fanin, n_units=n_units
+        )

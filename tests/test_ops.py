@@ -2349,3 +2349,72 @@ def test_sketch_streaming_theta(spark, tmp_path):
     for et in merged.index:
         assert bytes(merged.loc[et]["sketch"]) == bytes(batch.loc[et]["sketch"])
         assert merged.loc[et]["n_rows"] == batch.loc[et]["n_rows"]
+
+
+def test_checkpoint_any_sketch_resume_theta_and_hll(spark, tmp_path):
+    """CheckpointedAnySketchJob: the digest job's epoch mechanics with
+    an injected builder — theta run resumes across a simulated crash
+    and the final sketch is BITWISE equal to a one-shot batch build
+    (theta's merge is order-insensitive in its bytes); HLL variant
+    checks the generic metrics()/lineage() surface without the
+    digest-only total_weight column."""
+    from go_tdigest_spark.operators import hll_partials, theta_agg, theta_partials
+    from go_tdigest_spark.plans import CheckpointedAnySketchJob
+    from go_tdigest_spark.sketches import HLL, ThetaSketch
+
+    src = str(tmp_path / "input")
+    ev = table(spark, SF_TINY, "events").select("event_type", "user_id")
+    ev.repartition(8).write.parquet(src)
+
+    ckpt = str(tmp_path / "ckpt_theta")
+    job = CheckpointedAnySketchJob(
+        spark,
+        src,
+        partials_fn=lambda df: theta_partials(
+            df, ["user_id"], ["event_type"], k=128
+        ),
+        by=["event_type"],
+        checkpoint_dir=ckpt,
+        decode=ThetaSketch.from_bytes,
+        n_epochs=4,
+    )
+    job.run(max_epochs=2)
+    assert job.completed_epochs() == [0, 1]
+    final = job.run(resume=True).toPandas().set_index("event_type")
+    assert job.completed_epochs() == [0, 1, 2, 3]
+    batch = (
+        theta_agg(ev, ["user_id"], by=["event_type"], k=128)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert set(final.index) == set(batch.index)
+    for et in final.index:
+        assert bytes(final.loc[et]["sketch"]) == bytes(batch.loc[et]["sketch"])
+        assert final.loc[et]["n_rows"] == batch.loc[et]["n_rows"]
+
+    ckpt2 = str(tmp_path / "ckpt_hll")
+    job2 = CheckpointedAnySketchJob(
+        spark,
+        src,
+        partials_fn=lambda df: hll_partials(df, ["user_id"], ["event_type"]),
+        by=["event_type"],
+        checkpoint_dir=ckpt2,
+        decode=HLL.from_bytes,
+        n_epochs=3,
+    )
+    merged = job2.run().toPandas().set_index("event_type")
+    truth = (
+        ev.where("user_id IS NOT NULL")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"), F.count("*").alias("n"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, row in merged.iterrows():
+        est = HLL.from_bytes(bytes(row["sketch"])).estimate()
+        assert abs(est - truth.loc[et]["d"]) / truth.loc[et]["d"] <= 0.05
+        assert row["n_rows"] == truth.loc[et]["n"]
+    met = job2.metrics().toPandas()
+    assert set(met["epoch"]) == {0, 1, 2}
+    assert "weight" not in met.columns
+    assert met["rows"].sum() == truth["n"].sum()
