@@ -99,6 +99,26 @@ def tree_merge(
             # vendor AQE builds) — fall back to the cluster default
             n_shuffle = df.sparkSession.sparkContext.defaultParallelism
         gkey = "_gkey"
+        # Float/double group keys: normalize -0.0 to +0.0 BEFORE both
+        # the exchange and the JSON rendering.  Spark's own groupBy
+        # folds them into one group (NormalizeFloatingNumbers), but
+        # to_json renders them differently ({"k":0.0} vs {"k":-0.0}),
+        # so without this a double `by` column containing both zeros
+        # would emit two digest rows for one logical group.  The SQL
+        # comparison -0.0 == 0.0 is TRUE, so the when() rewrites
+        # exactly the two zeros; NaN/null fall through unchanged.
+        from pyspark.sql.types import DoubleType, FloatType
+
+        for f in df.schema.fields:
+            if f.name in group_cols and isinstance(
+                f.dataType, (FloatType, DoubleType)
+            ):
+                df = df.withColumn(
+                    f.name,
+                    F.when(
+                        F.col(f.name) == 0.0, F.lit(0.0).cast(f.dataType)
+                    ).otherwise(F.col(f.name)),
+                )
         # gkey is computed AFTER the exchange so the JSON rendering is
         # not serialized through the shuffle alongside the raw keys.
         # Default to_json truncates timestamps to MILLISECONDS (.SSS) —

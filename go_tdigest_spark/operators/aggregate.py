@@ -337,6 +337,20 @@ def tdigest_bucket(
     ).drop("_bounds")
 
 
+def _require_single_row(d: DataFrame, what: str) -> None:
+    """Loud guard for the ungrouped (crossJoin) annotator paths: a
+    user-supplied digest table with G rows would silently G-x-multiply
+    every fact row.  Costs one tiny job (limit-2 count on an O(groups)
+    digest table) — only runs on the stored-digest path."""
+    n = d.limit(2).count()
+    if n != 1:
+        raise ValueError(
+            f"{what} must have exactly one row for the ungrouped path; "
+            f"got {'0 rows' if n == 0 else '2 or more rows'} — pass "
+            "by= group columns to rank/clip against a per-group table"
+        )
+
+
 def tdigest_rank(
     df: DataFrame,
     value_col: str,
@@ -381,6 +395,8 @@ def tdigest_rank(
         missing = {*by, "digest"} - set(digests.columns)
         if missing:
             raise ValueError(f"digests is missing columns {sorted(missing)}")
+        if not by:
+            _require_single_row(digests, "digests")
     right = digests.select(*by, F.col("digest").alias("_rank_digest"))
     if by:
         joined = df.join(F.broadcast(right), by, "left")
@@ -436,6 +452,8 @@ def tdigest_winsorize(
         missing = {*by, "digest"} - set(digests.columns)
         if missing:
             raise ValueError(f"digests is missing columns {sorted(missing)}")
+        if not by:
+            _require_single_row(digests, "digests")
     bounds = digests.select(
         *by,
         td_quantile("digest", p_lo).alias("_w_lo"),
@@ -521,6 +539,8 @@ def tdigest_normalize(
         )
     elif "digest" not in target_digest.columns:
         raise ValueError("target_digest needs a 'digest' column")
+    else:
+        _require_single_row(target_digest, "target_digest")
     left = df.join(
         F.broadcast(digests.select(*by, F.col("digest").alias("_n_digest"))),
         by,

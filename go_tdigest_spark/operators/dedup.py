@@ -40,6 +40,37 @@ FP_BASE = 31
 SH_MOD = 144_115_188_075_855_881
 
 
+# Registry of every table persisted by this module's operators.  The
+# per-result attribute handles (result.persisted_sigs / _bands /
+# _grams) are plain python attributes on the DataFrame OBJECT — any
+# subsequent transformation (.where/.select) returns a new DataFrame
+# without them, making the cached table unreleasable short of
+# spark.catalog.clearCache().  The registry survives composition:
+# looping batch callers call release_dedup_caches() between iterations.
+_PERSISTED_CACHE: list[DataFrame] = []
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every signature/band/gram/index table persisted by
+    this module's operators in this process; returns how many were
+    released.  Safe to call at any time — later actions on a released
+    plan recompute instead of reading cache."""
+    n = 0
+    while _PERSISTED_CACHE:
+        d = _PERSISTED_CACHE.pop()
+        try:
+            d.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
+def _register_persisted(d: DataFrame) -> DataFrame:
+    _PERSISTED_CACHE.append(d)
+    return d
+
+
 def minhash_params(n_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
     rng = np.random.default_rng(seed)
     a = (rng.integers(1, MH_PRIME - 1, size=n_hashes)).tolist()
@@ -282,7 +313,7 @@ def ngram_jaccard_pairs(
     manages its own caching."""
     inv = shingle_hashes(df, text_col, id_col, n)
     if persist_index:
-        inv = inv.persist()
+        inv = _register_persisted(inv.persist())
     if max_doc_freq is not None:
         n_docs = inv.select("doc").distinct().select(
             F.count(F.lit(1)).alias("nd")
@@ -585,13 +616,15 @@ def lsh_pairs_from_sigs(
     MEMORY_AND_DISK.  The handle is exposed on the returned DataFrame
     as ``result.persisted_sigs`` so long-lived sessions looping over
     corpora can release it after their consuming action
-    (``result.persisted_sigs.unpersist()``); otherwise each call leaves
-    one cached snapshot behind until ``spark.catalog.clearCache()`` or
-    session end.  Disable when composing into a job that manages its
+    (``result.persisted_sigs.unpersist()``).  The attribute does not
+    survive DataFrame transformations (it is a python attribute on the
+    object, not the plan) — after ``result.where(...)`` etc., use
+    :func:`release_dedup_caches`, which tracks every table this module
+    persisted.  Disable when composing into a job that manages its
     own caching (the streaming readers do)."""
     persisted = None
     if persist_sigs:
-        sigs = sigs.persist()
+        sigs = _register_persisted(sigs.persist())
         persisted = sigs
     rows = n_hashes // bands
     sigs = sigs.withColumn(
@@ -748,7 +781,7 @@ def minhash_jaccard_dedup(
     # opts out for jobs that manage their own caching)
     inv = shingle_hashes(df, text_col, id_col, n)
     if persist_index:
-        inv = inv.persist()
+        inv = _register_persisted(inv.persist())
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(inv.select(F.col("doc").alias("doc_a"), "s"), "doc_a")
@@ -936,7 +969,7 @@ def simhash_candidate_pairs(
     banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
     persisted = None
     if persist_bands:
-        banded = banded.persist()
+        banded = _register_persisted(banded.persist())
         persisted = banded
     a, b = banded.alias("a"), banded.alias("b")
     out = (
@@ -1381,7 +1414,9 @@ def duplicate_spans(
         # release it (same contract as lsh persisted_sigs).
         from pyspark import StorageLevel
 
-        persisted = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = _register_persisted(
+            grams.persist(StorageLevel.MEMORY_AND_DISK)
+        )
         grams = persisted
     dup = (
         grams.groupBy("g")
@@ -1528,15 +1563,25 @@ def cut_duplicate_spans(
     n_words/(n+1)+1 of them); the cut itself is one Catalyst
     indexed-lambda filter over the words array — no Python.
     """
+    reserved = {"_ds_doc", "_spans", "_w", "_kept", "text_dedup", "n_cut_tokens"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(clash)}"
+        )
     spans = duplicate_spans(
         df, text_col, id_col, n, min_count, persist_grams
     )
-    by_doc = spans.groupBy("doc").agg(
+    # alias the join-side key to a reserved name: .drop("doc") would
+    # drop EVERY column named doc, including the caller's id column
+    # when id_col == "doc" (the natural name, since the sibling APIs
+    # emit it)
+    by_doc = spans.groupBy(F.col("doc").alias("_ds_doc")).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     joined = df.join(
-        by_doc, df[id_col] == by_doc["doc"], "left"
-    ).drop("doc")
+        by_doc, df[id_col] == by_doc["_ds_doc"], "left"
+    ).drop("_ds_doc")
     # bind the words array and the filtered array ONCE as projected
     # columns (the shingles_frag lesson: lambda bodies are not reliably
     # CSE'd, and Spark 4's CollapseProject keeps multi-referenced

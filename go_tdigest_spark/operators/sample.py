@@ -603,7 +603,19 @@ def sample_weighted_sql(
     # (large) hash frag five times into the quintic
     x5 = f"(((((_es_x2 * _es_x2) % {_MIX_P}) * _es_x) % {_MIX_P}))"
     z = f"(({x5} * {_MIX_A}) % {_MIX_P})"
-    pri = f"(-ln((({z}) + 1.0) / {_MIX_P}.0) / {weight_col})"
+    # mirror the Spark operator's loud weight contract (NULL / <= 0 /
+    # NaN / inf raise): without this the twin would silently return a
+    # DIFFERENT sample (negative weights sort first and always win) on
+    # inputs the operator rejects — DuckDB's NaN orders above all
+    # values, so NaN even passes `> 0`
+    wd = f"CAST({weight_col} AS DOUBLE)"
+    w_ok = (
+        f"CASE WHEN {weight_col} IS NULL OR isnan({wd}) OR isinf({wd}) "
+        f"OR NOT ({wd} > 0) THEN "
+        f"error('sample_weighted: weight must be finite and > 0') "
+        f"ELSE {wd} END"
+    )
+    pri = f"(-ln((({z}) + 1.0) / {_MIX_P}.0) / ({w_ok}))"
     bound = f"""
         SELECT *, (_es_x * _es_x) % {_MIX_P} AS _es_x2 FROM (
             SELECT *, ({h}) AS _es_x FROM {table}

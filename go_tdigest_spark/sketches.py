@@ -628,6 +628,15 @@ class FrequentDirections:
         # => sum(delta) <= ||A||_F^2 / ell
         _, s, vt = np.linalg.svd(self.rows, full_matrices=False)
         if s.size < self.ell:
+            # s.size = min(buffer rows, dim), and _shrink only runs with
+            # >= 2*ell buffered rows, so this branch means dim < ell:
+            # the Gram matrix has rank <= dim and B = diag(s) @ Vt
+            # represents it EXACTLY in <= dim rows.  Rewrite (lossless,
+            # no shrinkage delta) instead of returning — returning here
+            # left the raw-row buffer growing O(n) and re-ran a full
+            # SVD of the whole buffer every ell appends.
+            keep = s > 0.0
+            self.rows = s[keep][:, None] * vt[keep]
             return
         delta = float(s[self.ell - 1] ** 2)
         self.shrink_total += delta
@@ -855,6 +864,20 @@ class ThetaSketch:
         if buf[:4] != cls.MAGIC:
             raise ValueError("not a ThetaSketch payload")
         sat, k, th, n = struct.unpack_from("<BIQI", buf, 4)
+        # loud structural validation (same posture as the FD sibling):
+        # a truncated/concatenated checkpoint read must fail here, not
+        # deserialize silently with garbage ignored
+        if len(buf) != 4 + 17 + 8 * n:
+            raise ValueError(
+                f"ThetaSketch payload length {len(buf)} != expected "
+                f"{4 + 17 + 8 * n} for n={n}"
+            )
+        if sat not in (0, 1):
+            raise ValueError(f"ThetaSketch saturation flag {sat} not in 0/1")
+        if n > k:
+            raise ValueError(f"ThetaSketch retains {n} > k={k} hashes")
+        if sat and th == 0:
+            raise ValueError("ThetaSketch saturated with theta=0")
         out = cls(k)
         out.theta = th if sat else None
         out.hashes = (

@@ -2418,3 +2418,41 @@ def test_checkpoint_any_sketch_resume_theta_and_hll(spark, tmp_path):
     assert set(met["epoch"]) == {0, 1, 2}
     assert "weight" not in met.columns
     assert met["rows"].sum() == truth["n"].sum()
+
+
+def test_cut_duplicate_spans_doc_id_col(spark):
+    """id_col named 'doc' (the natural name — the sibling APIs emit it)
+    must survive into the output; pre-fix .drop("doc") deleted it."""
+    from go_tdigest_spark.operators.dedup import cut_duplicate_spans
+
+    rows = [(1, "a b c d e a b"), (2, "x c d y"), (3, None)]
+    df = spark.createDataFrame(rows, "doc long, text string")
+    out = cut_duplicate_spans(df, "text", "doc", n=2)
+    assert "doc" in out.columns
+    got = {r["doc"]: r["text_dedup"] for r in out.collect()}
+    assert got[1] == "e" and got[2] == "x y" and got[3] is None
+
+    # reserved-name collisions fail loudly
+    bad = spark.createDataFrame([(1, "a", "x")], "doc long, text string, _spans string")
+    with pytest.raises(ValueError, match="reserved"):
+        cut_duplicate_spans(bad, "text", "doc", n=2)
+
+
+def test_release_dedup_caches(spark):
+    """The module registry releases persisted tables even after the
+    caller transformed the returned DataFrame (the attribute handle is
+    lost there by construction)."""
+    from go_tdigest_spark.operators import release_dedup_caches
+    from go_tdigest_spark.operators.dedup import minhash_lsh_pairs
+
+    release_dedup_caches()  # drain anything earlier tests left behind
+    rows = [
+        (i, "the quick brown fox " * 5 + f"tail {i % 3}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", n_hashes=16, bands=4)
+    filtered = pairs.where(F.col("est_jaccard") > 0)  # attribute handle lost
+    assert not hasattr(filtered, "persisted_sigs")
+    filtered.count()
+    assert release_dedup_caches() >= 1
+    assert release_dedup_caches() == 0  # drained, idempotent

@@ -525,3 +525,27 @@ def test_weighted_sample_guards(spark):
         with pytest.raises(Exception) as ei:
             sample_weighted(bad_df, "k", "w", 1).collect()
         assert re.search(r"finite and > 0", str(ei.value)), bad
+
+
+def test_weighted_sample_sql_rejects_bad_weights():
+    """The DuckDB twin mirrors the operator's loud weight contract:
+    NULL / <= 0 / NaN / inf error out instead of silently returning a
+    different sample (negative priorities would always win)."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from go_tdigest_spark.operators import sample_weighted_sql
+
+    good = pd.DataFrame({"k": ["a", "b", "c"], "w": [1.0, 2.0, 3.0]})
+    q = sample_weighted_sql("t", "k", "w", 2, seed=3)
+    con = duckdb.connect()
+    con.register("t", good)
+    assert len(con.execute(q).fetchall()) == 2
+
+    for bad_w in [-1.0, 0.0, float("nan"), float("inf"), None]:
+        bad = pd.DataFrame({"k": ["a", "b", "c"], "w": [1.0, bad_w, 3.0]})
+        con2 = duckdb.connect()
+        con2.register("t", bad)
+        with pytest.raises(Exception, match="finite and > 0"):
+            con2.execute(q).fetchall()

@@ -1434,3 +1434,65 @@ def test_theta_sql_callable(spark):
         assert abs(r["u"] - tu) / tu < 0.5  # k=256: loose sanity
         if ti and np.isfinite(r["bound_i"]) and r["bound_i"] is not None:
             assert abs(r["i"] - ti) / ti < max(float(r["bound_i"]), 0.5)
+
+
+def test_fd_dim_smaller_than_ell_stays_bounded_and_exact():
+    """dim < ell (the constructor default, and fd_agg(ell=64) on
+    32-dim embeddings): the shrink step must still COMPRESS the buffer
+    (lossless rank-<=dim rewrite) instead of growing it O(n).  In this
+    regime the Gram estimate is EXACT (no shrinkage ever applied)."""
+    from go_tdigest_spark.sketches import FrequentDirections
+
+    rng = np.random.default_rng(23)
+    A = rng.normal(size=(5000, 3))
+    fd = FrequentDirections(ell=8, dim=3)
+    fd.update(A)
+    # bounded buffer: at most dim compressed rows + (2*ell - 1) pending
+    assert fd.rows.shape[0] < 2 * 8 + 3, fd.rows.shape
+    assert fd.shrink_total == 0.0  # never lossy when dim < ell
+    assert np.allclose(fd.cov(), A.T @ A, rtol=1e-9, atol=1e-6)
+    assert fd.n_rows == 5000
+
+    # merge path hits the same branch
+    other = FrequentDirections(ell=8, dim=3)
+    B = rng.normal(size=(3000, 3))
+    other.update(B)
+    fd.merge(other)
+    assert fd.rows.shape[0] < 2 * 8 + 3
+    assert np.allclose(fd.cov(), A.T @ A + B.T @ B, rtol=1e-9, atol=1e-6)
+
+    # serde of the compressed form round-trips
+    back = FrequentDirections.from_bytes(fd.to_bytes())
+    assert np.allclose(back.cov(), fd.cov())
+
+
+def test_theta_from_bytes_validation():
+    """Structural validation: truncated / trailing-garbage / internally
+    inconsistent payloads fail loudly (same posture as the FD sibling —
+    a corrupted checkpoint read must never deserialize silently)."""
+    import struct as _struct
+
+    from go_tdigest_spark.sketches import ThetaSketch
+
+    t = ThetaSketch(16)
+    t.update_hashes(np.arange(1, 40, dtype=np.int64))
+    b = t.to_bytes()
+    assert ThetaSketch.from_bytes(b).to_bytes() == b
+
+    with pytest.raises(ValueError, match="payload length"):
+        ThetaSketch.from_bytes(b + b"\x00")
+    with pytest.raises(ValueError, match="payload length"):
+        ThetaSketch.from_bytes(b[:-1])
+    with pytest.raises(ValueError, match="not a ThetaSketch"):
+        ThetaSketch.from_bytes(b"XXXX" + b[4:])
+    # n > k is structurally impossible from to_bytes; forge one
+    sat, k, th, n = _struct.unpack_from("<BIQI", b, 4)
+    forged = (
+        b[:4] + _struct.pack("<BIQI", sat, 16, th, 17) + b"\x00" * (8 * 17)
+    )
+    with pytest.raises(ValueError, match="retains"):
+        ThetaSketch.from_bytes(forged)
+    # saturated with theta=0 is inconsistent
+    forged2 = b[:4] + _struct.pack("<BIQI", 1, 16, 0, 0)
+    with pytest.raises(ValueError, match="theta=0"):
+        ThetaSketch.from_bytes(forged2)

@@ -1080,3 +1080,57 @@ def test_winsorize_normalize_plan_broadcasts(spark, lineitem):
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_tree_merge_negative_zero_group_key(spark):
+    """A double group key containing BOTH 0.0 and -0.0 must merge into
+    ONE group (Spark groupBy folds them via NormalizeFloatingNumbers;
+    the tree's to_json gkey rendered them differently pre-fix) and the
+    emitted key must be +0.0."""
+    import math
+
+    rows = [(0.0, float(i)) for i in range(50)]
+    rows += [(-0.0, float(i + 100)) for i in range(50)]
+    rows += [(2.5, 7.0)]
+    df = spark.createDataFrame(rows, "g double, v double")
+    out = tdigest_agg(df, "v", by=["g"], fanin=4).collect()
+    assert len(out) == 2, [r["g"] for r in out]
+    zero = [r for r in out if r["g"] == 0.0]
+    assert len(zero) == 1
+    assert math.copysign(1.0, zero[0]["g"]) == 1.0  # +0.0, not -0.0
+    assert zero[0]["n_rows"] == 100  # both zero groups' rows merged
+    d = serde.decode(bytes(zero[0]["digest"]))
+    assert d.count == 100
+
+
+def test_annotator_single_row_guards(spark):
+    """Stored-digest paths that crossJoin (by=[] rank/winsorize, any
+    normalize target) reject multi-row digest tables loudly instead of
+    silently multiplying every fact row."""
+    from go_tdigest_spark.operators import (
+        tdigest_normalize,
+        tdigest_rank,
+        tdigest_winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 3.0)], "g string, v double"
+    )
+    per_group = tdigest_agg(df, "v", by=["g"])  # 2 rows
+    with pytest.raises(ValueError, match="exactly one row"):
+        tdigest_rank(df, "v", digests=per_group.drop("g"))
+    with pytest.raises(ValueError, match="exactly one row"):
+        tdigest_winsorize(df, "v", digests=per_group.drop("g"))
+    with pytest.raises(ValueError, match="exactly one row"):
+        tdigest_normalize(
+            df, "v", by=["g"], target_digest=per_group.select("digest")
+        )
+    # the single-row forms still work
+    pooled = tdigest_agg(df, "v")
+    assert tdigest_rank(df, "v", digests=pooled).count() == 3
+    assert (
+        tdigest_normalize(
+            df, "v", by=["g"], target_digest=pooled.select("digest")
+        ).count()
+        == 3
+    )
