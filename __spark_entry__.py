@@ -87,12 +87,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_td_mean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count + full-range trimmed mean hash exactly; ok_normalize gates
+    the tdigest_normalize operator (round 4): per source, the
+    quantile-normalized n_chars must be (a) monotone non-decreasing in
+    the original value (normalization is Q_pool(CDF_group(x)) — both
+    kernels are monotone, so any inversion means a broken join or
+    decode) and (b) inside the POOLED value domain [min, max] (the
+    pooled target digest's tails are exact singletons)."""
     docs = table(spark, sf_dir, "documents")
     d = tdigest_agg(docs, "n_chars", by=["source"])
-    return d.select(
+    nm = aggregate.tdigest_normalize(docs, "n_chars", by=["source"], digests=d)
+    pool = docs.agg(
+        F.min("n_chars").alias("_lo"), F.max("n_chars").alias("_hi")
+    )
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    chk = (
+        nm.where(F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            "n_chars",
+            "doc_id",
+            F.col("n_chars_normalized").alias("_nz"),
+        )
+        .withColumn("_prev", F.lag("_nz").over(w))
+        .crossJoin(F.broadcast(pool))
+        .groupBy("source")
+        .agg(
+            F.coalesce(
+                F.bool_and(
+                    (
+                        F.col("_prev").isNull()
+                        | (F.col("_nz") >= F.col("_prev") - F.lit(1e-9))
+                    )
+                    & (F.col("_nz") >= F.col("_lo") - F.lit(1e-9))
+                    & (F.col("_nz") <= F.col("_hi") + F.lit(1e-9))
+                ),
+                F.lit(True),
+            ).alias("ok_normalize")
+        )
+    )
+    return d.join(chk, "source").select(
         "source",
         td_count("digest").alias("n"),
         F.round(td_trimmed_mean("digest", 0.0, 1.0), 4).alias("mean_chars"),
+        "ok_normalize",
     )
 
 
@@ -391,16 +429,65 @@ def _q_td_centroid_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_td_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # array-valued measure: digest every vector component, grouped by
-    # label — the per-token distribution path (explode_arrays) under the
-    # exact-oracle gate
+    """Array-valued measure: digest every vector component, grouped by
+    label — the per-token distribution path (explode_arrays) under the
+    exact-oracle gate.  The fd_* columns gate the Frequent Directions
+    matrix sketch (round 4) over the same vectors: n_vectors hashes
+    exactly against count(*); ok_fd_rows / ok_fd_fnorm2 pin the
+    sketch's exact-under-merge counters against an in-query Catalyst
+    companion (count, sum of squared components); ok_fd_bound checks
+    the certified spectral bound shrink_total <= ||A||_F^2 / ell
+    (Ghashami et al. §2) actually held through partials + salted tree.
+    ell=16 < dim=64 keeps the shrinkage path genuinely exercised."""
+    from go_tdigest_spark.operators.sketch_agg import (
+        fd_agg,
+        fd_fnorm2,
+        fd_rows,
+        fd_spectral_bound,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
     d = tdigest_agg(emb, "embedding", by=["label"], explode_arrays=True)
-    return d.select(
+    fd = fd_agg(emb, "embedding", dim=64, by=["label"], ell=16)
+    exact = (
+        emb.where(F.col("embedding").isNotNull())
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ).alias("_fn2"),
+        )
+    )
+    fdr = fd.select(
         "label",
-        td_count("digest").alias("n_components"),
-        td_quantile("digest", 0.0).alias("min_c"),
-        td_quantile("digest", 1.0).alias("max_c"),
+        fd_rows("sketch").alias("_fd_rows"),
+        fd_fnorm2("sketch").alias("_fd_fn2"),
+        fd_spectral_bound("sketch").alias("_fd_sb"),
+    )
+    return (
+        d.join(fdr, "label")
+        .join(exact, "label")
+        .select(
+            "label",
+            td_count("digest").alias("n_components"),
+            td_quantile("digest", 0.0).alias("min_c"),
+            td_quantile("digest", 1.0).alias("max_c"),
+            "n_vectors",
+            (F.col("_fd_rows") == F.col("n_vectors")).alias("ok_fd_rows"),
+            (
+                F.abs(F.col("_fd_fn2") - F.col("_fn2"))
+                <= F.lit(1e-9) * F.col("_fn2")
+            ).alias("ok_fd_fnorm2"),
+            (
+                F.col("_fd_sb")
+                <= F.col("_fd_fn2") / F.lit(16.0) + F.lit(1e-9)
+            ).alias("ok_fd_bound"),
+        )
     )
 
 
@@ -1271,7 +1358,29 @@ def _q_sample_suite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n", "chars", "min_doc", "max_doc",
         )
     )
-    return fr.unionByName(sp).unionByName(mx)
+    # round-4 arm: E-S weighted sampling without replacement (keep 8
+    # docs per source, inclusion odds proportional to n_chars + 1) —
+    # membership is a pure function of (doc_id, weight, seed), so the
+    # DuckDB twin reproduces the EXACT kept set
+    wt = (
+        sample.sample_weighted(
+            docs.withColumn("_wt", F.col("n_chars") + F.lit(1)),
+            "doc_id", "_wt", 8, seed=17, by=["source"],
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.lit("weighted").alias("variant"),
+            F.lit("").alias("split"),
+            "source", "n", "chars", "min_doc", "max_doc",
+        )
+    )
+    return fr.unionByName(sp).unionByName(mx).unionByName(wt)
 
 
 def _q_sample_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,7 +1583,8 @@ def oracle_sql() -> dict[str, str]:
         "td_mean_documents": """
             SELECT source,
                    count(n_chars) AS n,
-                   round(avg(n_chars), 4) AS mean_chars
+                   round(avg(n_chars), 4) AS mean_chars,
+                   TRUE AS ok_normalize
             FROM documents GROUP BY source
         """,
         "agg_pricing_summary": """
@@ -1547,12 +1657,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "td_embedding_components": """
-            SELECT label,
-                   count(c) AS n_components,
-                   CAST(min(c) AS DOUBLE) AS min_c,
-                   CAST(max(c) AS DOUBLE) AS max_c
-            FROM (SELECT label, unnest(embedding) AS c FROM embeddings)
-            GROUP BY label
+            SELECT e.label, n_components, min_c, max_c, v.n_vectors,
+                   TRUE AS ok_fd_rows, TRUE AS ok_fd_fnorm2,
+                   TRUE AS ok_fd_bound
+            FROM (
+                SELECT label,
+                       count(c) AS n_components,
+                       CAST(min(c) AS DOUBLE) AS min_c,
+                       CAST(max(c) AS DOUBLE) AS max_c
+                FROM (SELECT label, unnest(embedding) AS c FROM embeddings)
+                GROUP BY label
+            ) e JOIN (
+                SELECT label, count(*) AS n_vectors
+                FROM embeddings WHERE embedding IS NOT NULL
+                GROUP BY label
+            ) v ON e.label = v.label
         """,
         "events_sessionization": """
             WITH gaps AS (
@@ -1721,6 +1840,15 @@ def oracle_sql() -> dict[str, str]:
                 'documents', 'doc_id', 'source',
                 {'src0': 1.0, 'src1': 0.75, 'src2': 0.5, 'src3': 0.25},
                 seed=13, default_fraction=0.1)})
+            GROUP BY source
+            UNION ALL
+            SELECT 'weighted' AS variant, '' AS split, source,
+                   count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM ({sample.sample_weighted_sql(
+                '(SELECT *, n_chars + 1 AS _wt FROM documents)',
+                'doc_id', '_wt', 8, seed=17, by=['source'])})
             GROUP BY source
         """,
         "pack_docs": f"""
