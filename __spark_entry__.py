@@ -860,21 +860,45 @@ def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    suffix-array dedup re-expressed as distributed 5-gram interval
     #    merging): maximal token spans whose every 5-gram occurs >= 2
     #    times corpus-wide (operators/dedup.py duplicate_span_stats)
+    #  - the REMOVAL half (cut_duplicate_spans, round 4): n_cut_tokens
+    #    hashes against the span stats' dup_tokens (disjoint-span
+    #    invariant), and n_kept_tokens is recomputed from the OUTPUT
+    #    text (re-tokenizing text_dedup), so a broken span filter,
+    #    re-join, or off-by-one in the cut breaks the hash
+    from go_tdigest_spark.operators.dedup import words_frag
+
     docs = table(spark, sf_dir, "documents")
     rep = dedup.repetition_stats(docs, "text", "doc_id", n=2)
+    # one gram pass feeds both span consumers (spans= reuse contract);
+    # the raw span rows re-evaluate from the persisted gram table
+    sp_raw = dedup.duplicate_spans(docs, "text", "doc_id", n=5, min_count=2)
     spans = dedup.duplicate_span_stats(
-        docs, "text", "doc_id", n=5, min_count=2
+        docs, "text", "doc_id", n=5, min_count=2, spans=sp_raw
     )
-    return rep.select(
-        "doc",
-        "n_grams",
-        "n_distinct",
-        "top_count",
-        F.round(
-            F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 4
-        ).alias("dup_frac"),
-        F.round(F.col("top_count") / F.col("n_grams"), 4).alias("top_frac"),
-    ).join(spans, "doc")
+    cut = dedup.cut_duplicate_spans(
+        docs, "text", "doc_id", n=5, min_count=2, spans=sp_raw
+    )
+    kept = cut.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("doc"),
+        F.expr(f"size({words_frag('text_dedup', 'spark')})")
+        .cast("long")
+        .alias("n_kept_tokens"),
+        "n_cut_tokens",
+    )
+    return (
+        rep.select(
+            "doc",
+            "n_grams",
+            "n_distinct",
+            "top_count",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 4
+            ).alias("dup_frac"),
+            F.round(F.col("top_count") / F.col("n_grams"), 4).alias("top_frac"),
+        )
+        .join(spans, "doc")
+        .join(kept, "doc")
+    )
 
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2023,13 +2047,21 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id % 41 = 0", "text", "doc_id", n=3, threshold=5
         ),
         "repetition_docs": f"""
-            SELECT r.*, s.n_dup_spans, s.dup_tokens
+            SELECT r.*, s.n_dup_spans, s.dup_tokens,
+                   CAST(w.n_words - s.dup_tokens AS BIGINT)
+                       AS n_kept_tokens,
+                   CAST(s.dup_tokens AS BIGINT) AS n_cut_tokens
             FROM ({dedup.repetition_stats_sql(
                 "documents", "text", "doc_id", n=2
             )}) r
             JOIN ({dedup.duplicate_span_stats_sql(
                 "documents", "text", "doc_id", n=5, min_count=2
             )}) s USING (doc)
+            JOIN (
+                SELECT doc_id AS doc,
+                       len({dedup.words_frag('text', 'duck')}) AS n_words
+                FROM documents WHERE text IS NOT NULL
+            ) w USING (doc)
         """,
         "dedup_minhash_signatures": dedup.minhash_signature_sql(
             "documents", "text", "doc_id", n=2, n_hashes=16, as_string=True

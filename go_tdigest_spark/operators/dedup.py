@@ -1458,6 +1458,7 @@ def duplicate_span_stats(
     n: int = 5,
     min_count: int = 2,
     persist_grams: bool = True,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document rollup of :func:`duplicate_spans`: ``(doc,
     n_dup_spans, dup_tokens)`` for EVERY non-null-text document —
@@ -1467,8 +1468,22 @@ def duplicate_span_stats(
     by duplicated spans; callers derive ``dup_frac = dup_tokens /
     n_words`` for the usual removal threshold.  ``persist_grams`` and
     the ``result.persisted_grams`` release handle pass through from
-    :func:`duplicate_spans`."""
-    spans = duplicate_spans(df, text_col, id_col, n, min_count, persist_grams)
+    :func:`duplicate_spans`.
+
+    ``spans``: optional precomputed :func:`duplicate_spans` output
+    (columns ``doc, span_start, span_end``) — the digests= pattern: a
+    pipeline consuming BOTH the stats and the cut runs the gram pass
+    once and feeds both consumers (n/min_count must match how the spans
+    were built; they are ignored when spans is passed)."""
+    if spans is None:
+        spans = duplicate_spans(
+            df, text_col, id_col, n, min_count, persist_grams
+        )
+    else:
+        missing = {"doc", "span_start", "span_end"} - set(spans.columns)
+        if missing:
+            raise ValueError(f"spans is missing columns {sorted(missing)}")
+        spans.persisted_grams = getattr(spans, "persisted_grams", None)
     stats = spans.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
@@ -1548,6 +1563,7 @@ def cut_duplicate_spans(
     n: int = 5,
     min_count: int = 2,
     persist_grams: bool = True,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """The removal half of Lee et al. 2022 exact substring dedup: every
     duplicated span found by :func:`duplicate_spans` is CUT from the
@@ -1562,6 +1578,10 @@ def cut_duplicate_spans(
     (bounded: spans are disjoint, so a doc carries at most
     n_words/(n+1)+1 of them); the cut itself is one Catalyst
     indexed-lambda filter over the words array — no Python.
+
+    ``spans``: optional precomputed :func:`duplicate_spans` output —
+    same reuse contract as :func:`duplicate_span_stats` (one gram pass
+    feeding both the stats and the cut).
     """
     reserved = {"_ds_doc", "_spans", "_w", "_kept", "text_dedup", "n_cut_tokens"}
     clash = reserved & set(df.columns)
@@ -1569,9 +1589,15 @@ def cut_duplicate_spans(
         raise ValueError(
             f"input columns collide with reserved names: {sorted(clash)}"
         )
-    spans = duplicate_spans(
-        df, text_col, id_col, n, min_count, persist_grams
-    )
+    if spans is None:
+        spans = duplicate_spans(
+            df, text_col, id_col, n, min_count, persist_grams
+        )
+    else:
+        missing = {"doc", "span_start", "span_end"} - set(spans.columns)
+        if missing:
+            raise ValueError(f"spans is missing columns {sorted(missing)}")
+        spans.persisted_grams = getattr(spans, "persisted_grams", None)
     # alias the join-side key to a reserved name: .drop("doc") would
     # drop EVERY column named doc, including the caller's id column
     # when id_col == "doc" (the natural name, since the sibling APIs

@@ -2456,3 +2456,40 @@ def test_release_dedup_caches(spark):
     filtered.count()
     assert release_dedup_caches() >= 1
     assert release_dedup_caches() == 0  # drained, idempotent
+
+
+def test_duplicate_span_consumers_share_spans(spark):
+    """spans= reuse contract: passing a precomputed duplicate_spans
+    output to both duplicate_span_stats and cut_duplicate_spans gives
+    results identical to each consumer computing its own, and bad spans
+    frames fail loudly."""
+    from go_tdigest_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+
+    rows = [(1, "a b c d e a b"), (2, "x c d y"), (3, "zz yy"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sp = duplicate_spans(df, "text", "doc_id", n=2)
+
+    own_stats = duplicate_span_stats(df, "text", "doc_id", n=2)
+    via_stats = duplicate_span_stats(df, "text", "doc_id", n=2, spans=sp)
+    assert sorted(map(tuple, own_stats.collect())) == sorted(
+        map(tuple, via_stats.collect())
+    )
+
+    own_cut = cut_duplicate_spans(df, "text", "doc_id", n=2)
+    via_cut = cut_duplicate_spans(df, "text", "doc_id", n=2, spans=sp)
+    assert sorted(map(tuple, own_cut.collect())) == sorted(
+        map(tuple, via_cut.collect())
+    )
+
+    with pytest.raises(ValueError, match="missing columns"):
+        duplicate_span_stats(
+            df, "text", "doc_id", n=2, spans=sp.drop("span_end")
+        )
+    with pytest.raises(ValueError, match="missing columns"):
+        cut_duplicate_spans(
+            df, "text", "doc_id", n=2, spans=sp.select("doc")
+        )
