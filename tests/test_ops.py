@@ -2493,3 +2493,84 @@ def test_duplicate_span_consumers_share_spans(spark):
         cut_duplicate_spans(
             df, "text", "doc_id", n=2, spans=sp.select("doc")
         )
+
+
+def test_streaming_rank_winsorize_stored_digests(spark, tmp_path):
+    """Stream-side scoring — the production pattern for the annotators:
+    rank/clip live rows against a STORED digest table (stream-static
+    broadcast join + the grouped-decode kernel).  Per-row outputs must
+    be bitwise equal to the batch run over the same rows with the same
+    digests."""
+    from go_tdigest_spark.operators import aggregate, tdigest_agg
+
+    src = str(tmp_path / "rk_src")
+    ckpt = str(tmp_path / "rk_ckpt")
+    li = table(spark, SF_TINY, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    li.repartition(4).write.parquet(src)
+    # genuinely STORED digests: digest bytes are merge-order dependent,
+    # so re-evaluating the digest subtree inside the streaming query
+    # could legitimately produce different (equally valid) bytes —
+    # write once, read back, and both runs score against the same table
+    dig_path = str(tmp_path / "rk_digests")
+    tdigest_agg(li, "l_extendedprice", by=["l_returnflag"]).write.parquet(
+        dig_path
+    )
+    digests = spark.read.parquet(dig_path)
+
+    def score(df):
+        ranked = aggregate.tdigest_rank(
+            df, "l_extendedprice", by=["l_returnflag"], digests=digests
+        )
+        return aggregate.tdigest_winsorize(
+            ranked,
+            "l_extendedprice",
+            0.05,
+            0.95,
+            by=["l_returnflag"],
+            digests=digests,
+        )
+
+    cols = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "pct_rank",
+        "l_extendedprice_winsorized",
+    ]
+
+    def canon(pdf):
+        # (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        # canonicalize on every column so duplicate keys line up
+        return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+    batch = canon(score(li).select(*cols).toPandas())
+
+    stream = (
+        spark.readStream.schema(
+            "l_orderkey long, l_linenumber int, l_returnflag string, "
+            "l_extendedprice double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        score(stream)
+        .select(*cols)
+        .writeStream.format("memory")
+        .queryName("rk_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = canon(spark.sql("select * from rk_stream").toPandas())
+    assert len(got) == len(batch)
+    assert (got["pct_rank"].to_numpy() == batch["pct_rank"].to_numpy()).all()
+    assert (
+        got["l_extendedprice_winsorized"].to_numpy()
+        == batch["l_extendedprice_winsorized"].to_numpy()
+    ).all()
