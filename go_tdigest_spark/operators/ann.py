@@ -79,16 +79,35 @@ def cosine_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query vectors, window-rank the
-    corpus.  Ties broken by corpus id for determinism."""
+    corpus.  Ties broken by corpus id for determinism.  Zero-norm (or
+    NULL) QUERY vectors raise loudly — under Spark 4's default ANSI
+    mode the cos division would otherwise crash the whole job for
+    every query (the IVF tier has the same contract); zero-norm corpus
+    rows are filtered (cosine undefined against them)."""
+    # filter on the aliased cnrm, not a re-derived expression over the
+    # just-dropped vec_col (that double-evaluates the aggregate fold
+    # per row and leans on missing-reference resolution)
     corpus = df.select(
         F.col(id_col).alias("nn_id"),
         F.col(vec_col).alias("cvec"),
         F.expr(_norm_frag(vec_col)).alias("cnrm"),
-    ).where(F.expr(_norm_frag(vec_col)) > 0)
+    ).where(F.col("cnrm") > 0)
     queries = df.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.expr(_norm_frag(vec_col)).alias("qnrm"),
+    ).withColumn(
+        "qnrm",
+        F.when(
+            F.col("qvec").isNull() | (F.col("qnrm") <= 0),
+            F.raise_error(
+                F.concat(
+                    F.lit("cosine_topk: query "),
+                    F.col("query_id").cast("string"),
+                    F.lit(" has a NULL or zero-norm vector"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("qnrm")),
     )
     cos = F.expr(_dot_frag("qvec", "cvec")) / (F.col("qnrm") * F.col("cnrm"))
     # broadcast the FEW query vectors; the corpus streams (never
@@ -163,7 +182,9 @@ def lsh_signature_col(vec_col: str, n_planes: int, dim: int):
     h = hyperplanes(n_planes, dim)
     bit_terms = []
     for p in range(n_planes):
-        coeffs = ", ".join(f"{c!r}D" for c in h[p])
+        # float(c)!r, NOT c!r: repr of a numpy scalar under numpy >= 2
+        # is 'np.float64(...)', which is not a SQL literal
+        coeffs = ", ".join(f"{float(c)!r}D" for c in h[p])
         dot = (
             f"aggregate(zip_with({vec_col}, array({coeffs}), "
             "(x, c) -> CAST(x AS DOUBLE) * c), 0.0D, (a, z) -> a + z)"
@@ -206,7 +227,11 @@ def lsh_features(
                 continue
             vec_arr = batch.column(1)
             mat = _vec_matrix(vec_arr, n, dim)
-            nrm = np.sqrt((mat * mat).sum(axis=1))
+            # SEQUENTIAL fold, not numpy pairwise .sum(axis=1): the
+            # probe_all exactness contract (lsh_ann_topk == brute
+            # force, driver hash-gated) needs norms bit-identical to
+            # the _norm_frag expression order — see _seq_sq_norm
+            nrm = _seq_sq_norm(mat)
             bits = (mat @ planes.T) >= 0.0  # (n, n_planes) BLAS
             bucket = (bits.astype(np.float64) @ pow2).astype(np.int64)
             keep = nrm > 0
@@ -303,10 +328,15 @@ def lsh_ann_topk(
     runs.  Same role as IVF's nprobe=n_cells: an oracle-hashable mode
     that pins the bucketed plumbing end to end, while partial-probe
     recall is pinned separately in tests."""
+    if not 0 <= multiprobe <= n_planes:
+        raise ValueError(
+            f"multiprobe must be in [0, n_planes={n_planes}], got {multiprobe}"
+        )
     corpus = lsh_features(df, vec_col, id_col, n_planes, dim)
     # multiprobe via a LITERAL xor-mask array + explode (no lambda, so
     # nothing interpreted) instead of a transform() HOF: mask 0 is the
-    # query's own bucket, mask 1<<p flips bit p
+    # query's own bucket; multiprobe=d probes every bucket within
+    # Hamming distance d (all xor masks of popcount <= d)
     if probe_all:
         if n_planes > 12:
             raise ValueError(
@@ -315,9 +345,19 @@ def lsh_ann_topk(
             )
         masks = [F.lit(m) for m in range(1 << n_planes)]
     else:
-        masks = [F.lit(0)] + (
-            [F.lit(1 << p) for p in range(n_planes)] if multiprobe else []
-        )
+        from itertools import combinations
+
+        mask_vals = [
+            sum(1 << p for p in bits)
+            for d in range(multiprobe + 1)
+            for bits in combinations(range(n_planes), d)
+        ]
+        if len(mask_vals) > 4096:
+            raise ValueError(
+                f"multiprobe={multiprobe} over n_planes={n_planes} "
+                f"explodes {len(mask_vals)} probes per query; lower one"
+            )
+        masks = [F.lit(m) for m in mask_vals]
     queries = (
         lsh_features(
             df.where(F.col(id_col).isin(query_ids)), vec_col, id_col, n_planes, dim
@@ -344,10 +384,16 @@ def lsh_ann_topk(
             .alias("qbucket"),
         )
     )
+    # no dedup needed: the xor masks are distinct and xor with a
+    # distinct mask is injective, so each query probes DISTINCT buckets
+    # and a corpus row (living in exactly one bucket) pairs with a
+    # query at most once — same argument ivf_ann_topk documents; a
+    # dropDuplicates here forced a full extra shuffle of the candidate
+    # relation for nothing
     cand = corpus.join(
         F.broadcast(queries),
         (F.col("qbucket") == F.col("bucket")) & (F.col("query_id") != F.col("nn_id")),
-    ).dropDuplicates(["query_id", "nn_id"])
+    )
     scored = cosine_rerank(
         cand, ["query_id", "nn_id"], "qvec", "cvec", "qnrm", "cnrm", dim
     ).select("query_id", "nn_id", F.round("_cos_raw", 4).alias("cosine"))

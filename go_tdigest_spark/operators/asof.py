@@ -74,7 +74,16 @@ def asof_join(
         raise ValueError(
             f"right value columns collide with left columns: {sorted(clash)}"
         )
-    reserved = {"_src", "_rts"} & (set(left.columns) | set(value_cols))
+    if matched_ts_col is not None and matched_ts_col in value_cols:
+        # would emit two output columns with the same name (ambiguous
+        # downstream) — neither is in left.columns so the check above
+        # misses it
+        raise ValueError(
+            f"matched_ts_col {matched_ts_col!r} collides with value_cols"
+        )
+    reserved = {"_src", "_rts"} & (
+        set(left.columns) | set(value_cols) | {matched_ts_col}
+    )
     if reserved:
         raise ValueError(
             f"input columns collide with reserved names: {sorted(reserved)}"

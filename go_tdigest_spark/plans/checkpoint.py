@@ -206,11 +206,43 @@ class CheckpointedSketchJob:
             )
         return dirs
 
+    def _committed_files(self) -> list[str]:
+        """Data files of committed epochs, captured list-then-reverify:
+        a crash-resume in ANOTHER process rewrites an epoch dir with
+        mode('overwrite') (delete first, _SUCCESS last), so a marker
+        still present AFTER the listing proves no rewrite started
+        mid-listing; a rewrite completing later makes the downstream
+        read fail loudly on the now-missing files instead of silently
+        merging a partially-rewritten epoch (same protocol as
+        streaming/stream_agg._committed_batch_dirs)."""
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        out: list[str] = []
+        for d in self._committed_dirs():
+            hdir = jvm.org.apache.hadoop.fs.Path(d)
+            fs = hdir.getFileSystem(conf)
+            marker = jvm.org.apache.hadoop.fs.Path(hdir, "_SUCCESS")
+            files = [
+                f.getPath().toString()
+                for f in fs.listStatus(hdir)
+                if not f.isDirectory()
+                and not f.getPath().getName().startswith(("_", "."))
+            ]
+            if files and fs.exists(marker):
+                out.extend(files)
+        if not out:
+            raise FileNotFoundError(
+                f"no committed epoch data under {self.dir}/partials"
+            )
+        return out
+
     def merged(self) -> DataFrame:
         # read only COMMITTED epochs: an interrupted overwrite leaves an
         # uncommitted directory whose partial contents must never leak
         # into results (_SUCCESS is the commit record on the read path too)
-        partials = self.spark.read.parquet(*self._committed_dirs())
+        partials = self.spark.read.option(
+            "basePath", os.path.join(self.dir, "partials")
+        ).parquet(*self._committed_files())
         sel = partials.select(*(self.by + list(self._data_cols)))
         # storage-read partials: size the tree by partial count, not scan
         # partitions (see _tree.py); parquet count() is metadata-only
@@ -220,9 +252,9 @@ class CheckpointedSketchJob:
     # ----------------------------------------------------------- lineage
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.option("basePath", os.path.join(self.dir, "partials")).parquet(
-            *self._committed_dirs()
-        )
+        return self.spark.read.option(
+            "basePath", os.path.join(self.dir, "partials")
+        ).parquet(*self._committed_files())
 
     def metrics(self) -> DataFrame:
         lin = self.lineage()

@@ -104,6 +104,19 @@ def from_ref_bytes(buf: bytes) -> TDigest:
     counts, end = _decode_uvarints(buf, need, n)
     if end != len(buf):
         raise ValueError("buffer has unread data")
+    # structural validation BEYOND the reference (which trusts the
+    # payload): a wire-format-valid blob with a zero count or a
+    # negative mean delta would rehydrate a digest whose quantile/cdf
+    # reads return confident garbage (zero total weight; non-monotone
+    # means break the sorted-centroid invariant np.interp relies on).
+    # Every payload our encoder or the reference encoder produces
+    # passes (counts >= 1 by construction, deltas are diffs of sorted
+    # means) — this only rejects corruption.
+    if n:
+        if deltas[1:].min(initial=0.0) < 0.0:
+            raise ValueError("negative centroid mean delta (unsorted means)")
+        if counts.min() < 1:
+            raise ValueError("centroid count < 1 in serialization")
     return TDigest.from_centroids(means, counts, compression)
 
 

@@ -54,8 +54,12 @@ def tdigest_stream_writer(
     )
 
 
-def _committed_batch_dirs(spark: SparkSession, state_path: str) -> list[str]:
-    """batch_id=N subdirectories holding a _SUCCESS commit marker.
+def _committed_batch_dirs(
+    spark: SparkSession, state_path: str
+) -> list[tuple[str, list[str]]]:
+    """(batch dir, its data files) for every batch_id=N subdirectory
+    holding a _SUCCESS commit marker — files are captured under a
+    list-then-reverify protocol (see inline comment).
 
     A reader concurrent with a crash-replay overwrite of batch N (mode
     'overwrite' deletes the directory before rewriting) must never see
@@ -76,8 +80,26 @@ def _committed_batch_dirs(spark: SparkSession, state_path: str) -> list[str]:
         p = status.getPath()
         if not p.getName().startswith("batch_id="):
             continue
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
-            out.append(p.toString())
+        marker = jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")
+        if not fs.exists(marker):
+            continue
+        # list the DATA FILES now, then re-verify the commit marker:
+        # a crash-replay overwrite (delete + rewrite of the whole dir,
+        # sketch_stream mode='overwrite') deletes _SUCCESS first, so a
+        # marker still present AFTER the listing proves no rewrite
+        # started mid-listing.  If a full rewrite completed in between,
+        # the listed (old) files no longer exist and the downstream
+        # read fails LOUDLY (ignoreMissingFiles is off) instead of
+        # silently merging a partial batch — the race the plain
+        # check-then-list had.
+        files = [
+            f.getPath().toString()
+            for f in fs.listStatus(p)
+            if not f.isDirectory()
+            and not f.getPath().getName().startswith(("_", "."))
+        ]
+        if files and fs.exists(marker):
+            out.append((p.toString(), files))
     return sorted(out)
 
 
@@ -91,11 +113,15 @@ def read_committed_partials(
     batches only, plus the partial count for merge-tree sizing
     (storage-read partitions pack many partials per group; parquet
     count() is footer-metadata only)."""
-    dirs = _committed_batch_dirs(spark, state_path)
-    if not dirs:
+    committed = _committed_batch_dirs(spark, state_path)
+    if not committed:
         raise FileNotFoundError(f"no committed batches under {state_path}")
+    # read the EXPLICIT file list captured at commit-check time (not
+    # the directories): files written by a later replay-overwrite can
+    # never leak into this read, and files deleted by one fail loudly
+    files = [f for _, fl in committed for f in fl]
     partials = (
-        spark.read.option("basePath", state_path).parquet(*dirs).select(*cols)
+        spark.read.option("basePath", state_path).parquet(*files).select(*cols)
     )
     n_units = partials.count() if count_units else None
     return partials, n_units
@@ -187,8 +213,12 @@ def tdigest_stateful_stream(
     from .. import serde
 
     def q_name(q: float) -> str:
-        # precision-preserving, collision-free: 0.5 -> q0_5, 0.999 -> q0_999
-        return "q" + format(float(q), "g").replace(".", "_").replace("-", "m")
+        # precision-preserving, collision-free: 0.5 -> q0_5, 0.999 ->
+        # q0_999.  repr() is the shortest EXACT roundtrip form —
+        # format(q, 'g') kept only 6 significant digits, so distinct
+        # quantiles like 0.9999995 vs 1.0 collided (or got a column
+        # name labeling the wrong quantile)
+        return "q" + repr(float(q)).replace(".", "_").replace("-", "m")
 
     names = [q_name(q) for q in quantiles]
     if len(set(names)) != len(names):

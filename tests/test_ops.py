@@ -2574,3 +2574,81 @@ def test_streaming_rank_winsorize_stored_digests(spark, tmp_path):
         got["l_extendedprice_winsorized"].to_numpy()
         == batch["l_extendedprice_winsorized"].to_numpy()
     ).all()
+
+
+def test_ann_guards_and_multiprobe(spark):
+    """Round-4 review fixes: zero-norm query vectors raise loudly
+    (ANSI-mode division would otherwise crash the whole job), and
+    multiprobe=d probes every bucket within Hamming distance d instead
+    of silently behaving as d=1."""
+    import numpy as np
+
+    from go_tdigest_spark.operators.ann import cosine_topk, lsh_ann_topk
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    rows.append((99, [0.0] * 8))  # zero-norm vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # zero-norm query -> loud error
+    with pytest.raises(Exception, match="zero-norm"):
+        cosine_topk(df, "embedding", "vec_id", query_ids=[99], k=3).collect()
+    # zero-norm corpus row is just filtered; healthy queries fine
+    out = cosine_topk(df, "embedding", "vec_id", query_ids=[0], k=3).collect()
+    assert len(out) == 3 and all(r["nn_id"] != 99 for r in out)
+
+    # multiprobe expansion: recall(d=2) >= recall(d=1), and d=2 probes
+    # strictly more buckets (1 + C(6,1) + C(6,2) = 22 masks)
+    with pytest.raises(ValueError, match="multiprobe"):
+        lsh_ann_topk(
+            df, "embedding", "vec_id", query_ids=[0], n_planes=6, multiprobe=7
+        )
+    clean = df.where("vec_id != 99")
+    r1 = lsh_ann_topk(
+        clean, "embedding", "vec_id", query_ids=[0, 1, 2], k=3,
+        n_planes=6, dim=8, multiprobe=1,
+    ).collect()
+    r2 = lsh_ann_topk(
+        clean, "embedding", "vec_id", query_ids=[0, 1, 2], k=3,
+        n_planes=6, dim=8, multiprobe=2,
+    ).collect()
+    # d=2 candidates are a superset -> at least as many results, and
+    # every d=1 (query, rank) cosine is <= its d=2 counterpart
+    assert len(r2) >= len(r1)
+    c1 = {(r["query_id"], r["rank"]): r["cosine"] for r in r1}
+    c2 = {(r["query_id"], r["rank"]): r["cosine"] for r in r2}
+    for key, v in c1.items():
+        if key in c2:
+            assert c2[key] >= v
+
+
+def test_asof_matched_ts_col_collisions(spark):
+    from go_tdigest_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 5.0)], "id long, ts string, price double"
+    ).select("id", F.col("ts").cast("timestamp"), "price")
+
+    with pytest.raises(ValueError, match="matched_ts_col"):
+        asof_join(left, right, "ts", ["id"], ["price"], matched_ts_col="price")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, "ts", ["id"], ["price"], matched_ts_col="_src")
+
+
+def test_stateful_stream_quantile_names_precise(spark, tmp_path):
+    """Column naming keeps full float precision: 0.9999995 and 1.0 are
+    DISTINCT quantiles (format(q,'g') collapsed both to 'q1')."""
+    from go_tdigest_spark.streaming import tdigest_stateful_stream
+
+    src = str(tmp_path / "qn_src")
+    spark.createDataFrame(
+        [("a", 1.0)], "k string, v double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k string, v double").parquet(src)
+    out = tdigest_stateful_stream(
+        stream, "v", "k", quantiles=(1.0, 0.9999995)
+    )
+    assert "q1_0" in out.columns and "q0_9999995" in out.columns

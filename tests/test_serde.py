@@ -114,3 +114,39 @@ def test_java_golden_blob():
     assert d.count == 100_000
     for q, tol in [(0.5, 0.02), (0.01, 0.005), (0.99, 0.005)]:
         assert abs(d.quantile(q) - q) < tol
+
+
+def test_ref_rejects_structurally_invalid_payloads():
+    """Wire-format-valid blobs with zero centroid counts or negative
+    mean deltas (unsorted means) must fail at decode, not rehydrate a
+    digest whose reads return confident garbage."""
+    import struct as _struct
+
+    import numpy as np
+
+    from go_tdigest_spark import TDigest, serde
+
+    d = TDigest.from_values(np.arange(100, dtype=np.float64))
+    buf = serde.to_ref_bytes(d)
+    # header: >i magic, >d compression, >i n  (see _REF_HEADER)
+    magic, compression, nc = _struct.unpack_from(">idi", buf, 0)
+    head_sz = _struct.calcsize(">idi")
+
+    # zero count: rewrite the first uvarint (count of centroid 0) to 0
+    deltas_end = head_sz + 4 * nc
+    corrupt = bytearray(buf)
+    corrupt[deltas_end] = 0  # uvarint 0 is a single 0x00 byte iff the
+    # original first count byte had no continuation bit
+    if buf[deltas_end] < 0x80:
+        with pytest.raises(ValueError, match="count < 1"):
+            serde.from_ref_bytes(bytes(corrupt))
+
+    # negative non-first delta: means become non-monotone
+    bad = bytearray(buf)
+    _struct.pack_into(">f", bad, head_sz + 4, -1.0)
+    with pytest.raises(ValueError, match="negative centroid mean delta"):
+        serde.from_ref_bytes(bytes(bad))
+
+    # a negative FIRST delta is legal (it is the absolute first mean)
+    neg = TDigest.from_values(np.arange(-50, 50, dtype=np.float64))
+    assert serde.from_ref_bytes(serde.to_ref_bytes(neg)).quantile(0.0) == -50.0
