@@ -18,8 +18,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
-FP_MOD = 1_000_000_007
-FP_BASE = 31
+# single-source the polynomial-hash contract: the constants and the
+# per-string frag live in operators/dedup.py (the shingle index, the
+# samplers, and terms.py all assume ONE hash rule — a second copy here
+# could silently fork it)
+from ..operators.dedup import FP_BASE, FP_MOD, shingle_hash_frag  # noqa: E402
 
 # ------------------------------------------------------------- token count
 
@@ -150,23 +153,13 @@ def lang_id(col: str) -> Column:
 
 
 def fingerprint_frag(col: str, dialect: str) -> str:
-    """Polynomial rolling hash over codepoints: h = (h*31 + cp) mod p."""
-    # NB: Spark's sequence(1, 0) yields a DESCENDING sequence, not empty —
-    # the empty-string case must be guarded in both dialects
-    if dialect == "spark":
-        agg = (
-            f"aggregate(transform(sequence(1, length({col})), "
-            f"i -> ascii(substring({col}, i, 1))), 0L, "
-            f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
-        )
-    else:
-        # DuckDB folds in the element type (INT32) unless the seed is BIGINT
-        agg = (
-            f"list_reduce(list_prepend(0::BIGINT, list_transform("
-            f"generate_series(1, length({col})), "
-            f"i -> ascii(substr({col}, i, 1))::BIGINT)), "
-            f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
-        )
+    """Polynomial rolling hash over codepoints: h = (h*31 + cp) mod p.
+
+    Delegates to the one shared hash rule (dedup.shingle_hash_frag),
+    adding only the empty-string guard — Spark's sequence(1, 0) yields
+    a DESCENDING sequence, not empty, so both dialects must short-
+    circuit length 0."""
+    agg = shingle_hash_frag(col, dialect, FP_MOD)
     return f"CASE WHEN length({col}) = 0 THEN 0 ELSE {agg} END"
 
 

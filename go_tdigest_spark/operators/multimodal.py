@@ -27,11 +27,17 @@ def binary_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     """Per-payload metadata: byte length, additive checksum, head/tail
     bytes.  Vectorized over each Arrow batch (single numpy pass over the
     concatenated value buffer, sliced by offsets)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
     id_field = df.select(id_col).schema.fields[0]
     id_dt = id_field.dataType.simpleString()
     out_schema = pa.schema(
         [
-            pa.field("doc", pa.int64() if id_dt == "bigint" else pa.string()),
+            # derive the Arrow type from the ACTUAL Spark id type: a
+            # bigint-or-string assumption made from_arrays silently cast
+            # int/short ids to strings while mapInArrow declared the
+            # original type — executor-side schema mismatch
+            pa.field("doc", to_arrow_type(id_field.dataType)),
             pa.field("n_bytes", pa.int64()),
             pa.field("checksum", pa.int64()),
             pa.field("head_byte", pa.int32()),
@@ -138,6 +144,10 @@ def decode_media(
 def frame_sample(df: DataFrame, bin_col: str, id_col: str, stride: int = 16) -> DataFrame:
     """Sample every ``stride``-th byte of the payload ("frame sampling"
     shape for video columns): binary in, smaller binary out."""
+    if stride < 1:
+        # fail on the driver: stride=0 would raise per-row inside
+        # executors and a negative stride silently REVERSES the payload
+        raise ValueError(f"stride must be >= 1, got {stride}")
     id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
     pruned = df.select(id_col, bin_col).where(F.col(bin_col).isNotNull())
 

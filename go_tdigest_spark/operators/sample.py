@@ -226,6 +226,14 @@ def sample_topk_per_group(
             )
 
     hashed = df.mapInArrow(gen, schema_with_hash)
+    if not by:
+        # global top-k: TakeOrderedAndProject (per-partition partial
+        # top-k, one k-row merge) — the sample_weighted shape.  An
+        # empty-keyed window would funnel every row into ONE task, and
+        # the SQL twin's bare PARTITION BY would not even parse.
+        return (
+            hashed.orderBy(F.asc("_sh"), F.asc(key_col)).limit(k).drop("_sh")
+        )
     w = Window.partitionBy(*by).orderBy(F.asc("_sh"), F.asc(key_col))
     return (
         hashed.withColumn("_rn", F.row_number().over(w))
@@ -642,6 +650,12 @@ def sample_topk_per_group_sql(
     table: str, key_col: str, by: list[str], k: int, seed: int = 1
 ) -> str:
     h = sample_hash_frag(key_col, "duck", seed)
+    if not by:
+        # global twin (bare PARTITION BY would not parse)
+        return f"""
+            SELECT * FROM {table}
+            ORDER BY ({h}) ASC, {key_col} ASC LIMIT {k}
+        """
     keys = ", ".join(by)
     return f"""
         SELECT * EXCLUDE (_sh, _rn) FROM (

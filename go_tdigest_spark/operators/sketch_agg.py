@@ -65,6 +65,8 @@ def _generic_partials(
     update: Callable[[object, list[np.ndarray]], None],
     weight_col: str | None = None,
     notnull_cols: Sequence[str] = (),
+    value_cols: Sequence[str] = (),
+    batch_values: Callable | None = None,
 ) -> DataFrame:
     """Stage 1: one sketch per (partition x group), built from one or
     more pre-hashed int64 columns.
@@ -74,8 +76,18 @@ def _generic_partials(
     count one phantom element (SQL count(DISTINCT ...) excludes NULLs,
     so we match it).  NULL weights are dropped too (NaN->int64 is
     INT64_MIN and silently corrupts counters).
+
+    ``value_cols`` + ``batch_values``: RAW-value mode for sketches that
+    consume something other than pre-hashed scalars (Frequent
+    Directions eats embedding matrices).  The named columns are
+    projected verbatim and ``batch_values(batch, by_len, n_rows)``
+    returns the row-aligned arrays handed to ``update`` — everything
+    else (group slicing, accumulation, emission) is this one shared
+    code path, so a fix here reaches every sketch.
     """
     by = list(by)
+    if batch_values is not None and hash_exprs:
+        raise ValueError("pass hash_exprs or batch_values, not both")
     n_h = len(hash_exprs)
     cond = _notnull_cond(
         list(notnull_cols) + ([weight_col] if weight_col else [])
@@ -85,6 +97,7 @@ def _generic_partials(
     proj = (
         [F.col(c) for c in by]
         + [e.alias(f"_h{i}") for i, e in enumerate(hash_exprs)]
+        + [F.col(c).alias(f"_v{i}") for i, c in enumerate(value_cols)]
         + ([F.col(weight_col).alias("_w")] if weight_col else [])
     )
     pruned = df.select(*proj)
@@ -113,12 +126,15 @@ def _generic_partials(
             combined, uniq, counts, keys, row_order = group_codes(
                 batch, len(by)
             )
-            hs = [
-                batch.column(len(by) + i).to_numpy(zero_copy_only=False)
-                for i in range(n_h)
-            ]
+            if batch_values is not None:
+                hs = batch_values(batch, len(by), n)
+            else:
+                hs = [
+                    batch.column(len(by) + i).to_numpy(zero_copy_only=False)
+                    for i in range(n_h)
+                ]
             w = (
-                batch.column(len(by) + n_h)
+                batch.column(len(by) + n_h + len(value_cols))
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64)
                 if weight_col
@@ -639,6 +655,13 @@ def heavy_hitters(
     if not 0.0 < phi < 1.0:
         raise ValueError("phi must be in (0, 1)")
     by = list(by)
+    reserved = {"_ch", "_thresh", "_i", "cnt"} & (set(cols) | set(by))
+    if reserved:
+        # withColumn("_ch", ...) would silently REPLACE a data column
+        # of that name and emit its hash as the "exact" item
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(reserved)}"
+        )
     k_min = int(math.ceil(1.0 / phi))
     if k is None:
         k = max(8, int(math.ceil(2.0 / phi)))
@@ -835,77 +858,26 @@ def fd_partials(
     """Stage 1 for the Frequent Directions matrix sketch: one FD per
     (partition x group) over an ``array<float|double>`` embedding
     column.  Unlike the hashed-scalar sketches this consumes the raw
-    vectors, so it has its own Arrow kernel (same group-slicing
-    discipline as _generic_partials); ``dim`` is the fixed-width
-    contract, validated per batch by the shared _vec_matrix guard.
-    NULL vectors are dropped (matching count(vec) semantics); rows with
-    non-finite values fail loudly in the kernel."""
+    vectors, so it rides _generic_partials' raw-value mode (one shared
+    group-slice/accumulate/emit path for every sketch); ``dim`` is the
+    fixed-width contract, validated per batch by the shared _vec_matrix
+    guard.  NULL vectors are dropped (matching count(vec) semantics);
+    rows with non-finite values fail loudly in the kernel."""
     from ..sketches import FrequentDirections
-    from ._batch import group_codes
     from .ann import _vec_matrix
 
-    by = list(by)
-    pruned = df.where(F.col(vec_col).isNotNull()).select(
-        *[F.col(c) for c in by], F.col(vec_col).alias("_v")
+    return _generic_partials(
+        df,
+        by,
+        hash_exprs=[],
+        make_sketch=lambda: FrequentDirections(ell, dim),
+        update=lambda fd, cols: fd.update(cols[0]),
+        notnull_cols=[vec_col],
+        value_cols=[vec_col],
+        batch_values=lambda batch, by_len, n: [
+            _vec_matrix(batch.column(by_len), n, dim)
+        ],
     )
-    by_fields = [f for f in pruned.schema.fields if f.name in set(by)]
-    schema = StructType(
-        by_fields
-        + [
-            StructField("sketch", BinaryType(), False),
-            StructField("n_rows", LongType(), False),
-        ]
-    )
-    from pyspark.sql.pandas.types import to_arrow_type
-
-    out_schema = pa.schema(
-        [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema]
-    )
-
-    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        accs: dict[tuple, list] = {}
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            combined, uniq, counts, keys, row_order = group_codes(
-                batch, len(by)
-            )
-            mat = _vec_matrix(batch.column(len(by)), n, dim)
-            multi = combined is not None and len(uniq) > 1
-            if multi:
-                mat = mat[row_order]
-                offsets = np.concatenate(([0], np.cumsum(counts))).astype(
-                    np.int64
-                )
-            for g, (key, cnt) in enumerate(zip(keys, counts)):
-                acc = accs.get(key)
-                if acc is None:
-                    acc = [FrequentDirections(ell, dim), 0]
-                    accs[key] = acc
-                sel = (
-                    slice(offsets[g], offsets[g + 1])
-                    if multi
-                    else slice(None)
-                )
-                acc[0].update(mat[sel])
-                acc[1] += int(cnt)
-        if accs:
-            arrays = []
-            items = list(accs.items())
-            for j in range(len(by)):
-                arrays.append(
-                    pa.array(
-                        [k[j] for k, _ in items], type=out_schema.field(j).type
-                    )
-                )
-            arrays.append(
-                pa.array([a[0].to_bytes() for _, a in items], type=pa.binary())
-            )
-            arrays.append(pa.array([a[1] for _, a in items], type=pa.int64()))
-            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
-
-    return pruned.mapInArrow(gen, schema)
 
 
 def fd_agg(
@@ -991,7 +963,10 @@ def _fd_singular_values_udf(s: pd.Series, k: pd.Series) -> pd.Series:
     kv = k.to_numpy()
     out = []
     for b, ki in zip(s, kv):
-        if b is None:
+        # pd.isna, not `is None`: a SQL NULL k arrives as float64 NaN
+        # through the pandas conversion and int(NaN) raises (the
+        # _kll_quantile_udf convention)
+        if b is None or pd.isna(ki):
             out.append(None)
         else:
             sv = FrequentDirections.from_bytes(bytes(b)).singular_values(
@@ -1078,7 +1053,8 @@ def theta_n_retained(sketch: Column | str) -> Column:
 def _theta_rse_bound_udf(s: pd.Series, n_std: pd.Series) -> pd.Series:
     out = []
     for b, ns in zip(s, n_std):
-        if b is None or ns is None:
+        # pd.isna: a SQL NULL n_std arrives as NaN, never None
+        if b is None or pd.isna(ns):
             out.append(None)
         else:
             v = ThetaSketch.from_bytes(bytes(b)).rse_bound(float(ns))

@@ -475,13 +475,15 @@ class KLL:
 class CountMinSketch:
     """Count-Min sketch: d rows x w counters; estimates overcount only."""
 
-    MAGIC = b"CMS1"
+    MAGIC = b"CMS2"  # v2 carries the hash seed (see from_bytes)
+    _MAGIC_V1 = b"CMS1"  # legacy: seed not in payload
 
     def __init__(self, d: int = 5, w: int = 2048, seed: int = 9) -> None:
         if w & (w - 1):
             raise ValueError("w must be a power of two")
         self.d = d
         self.w = w
+        self.seed = seed
         self._wbits = int(w).bit_length() - 1
         rng = np.random.default_rng(seed)
         # odd multipliers: multiplicative hashing in wrap-around uint64
@@ -526,7 +528,10 @@ class CountMinSketch:
         return ests.min(axis=0)
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
-        if (other.d, other.w) != (self.d, self.w):
+        # seed must match too: two same-shape tables hashed with
+        # different (a, b) rows would ADD misaligned counters, silently
+        # breaking the overcount-only invariant
+        if (other.d, other.w, other.seed) != (self.d, self.w, self.seed):
             raise ValueError("cms config mismatch")
         self.table += other.table
         self.total += other.total
@@ -535,19 +540,35 @@ class CountMinSketch:
     def to_bytes(self) -> bytes:
         return (
             self.MAGIC
-            + struct.pack("<iiq", self.d, self.w, self.total)
+            + struct.pack("<iiqq", self.d, self.w, self.total, self.seed)
             + self.table.astype("<i8").tobytes()
         )
 
     @classmethod
     def from_bytes(cls, buf: bytes, seed: int = 9) -> "CountMinSketch":
-        if buf[:4] != cls.MAGIC:
+        """The v2 payload CARRIES the hash seed — a non-default-seed
+        sketch round-trips with its own (a, b) hash rows instead of
+        silently rehydrating against the caller's default and probing
+        the wrong columns (which could UNDERcount, violating the
+        overcount-only invariant).  ``seed`` is only consulted for
+        legacy v1 payloads, which did not store it."""
+        if buf[:4] == cls.MAGIC:
+            d, w, total, seed = struct.unpack_from("<iiqq", buf, 4)
+            off = 4 + struct.calcsize("<iiqq")
+        elif buf[:4] == cls._MAGIC_V1:
+            d, w, total = struct.unpack_from("<iiq", buf, 4)
+            off = 20
+        else:
             raise ValueError("not a CMS payload")
-        d, w, total = struct.unpack_from("<iiq", buf, 4)
         out = cls(d, w, seed)
         out.total = total
+        expect = off + 8 * d * w
+        if len(buf) != expect:
+            raise ValueError(
+                f"CMS payload length {len(buf)} != expected {expect}"
+            )
         out.table = (
-            np.frombuffer(buf, dtype="<i8", count=d * w, offset=20)
+            np.frombuffer(buf, dtype="<i8", count=d * w, offset=off)
             .reshape(d, w)
             .astype(np.int64)
         )

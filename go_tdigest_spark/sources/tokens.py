@@ -84,6 +84,14 @@ def generate_block(
 
     if include_tokens:
         total = int(n_tok.sum())
+        if total > np.iinfo(np.int32).max:
+            # Arrow ListArray offsets are int32; a silent same-kind
+            # cumsum cast would wrap negative and emit a corrupt tokens
+            # column — fail loudly with the fix
+            raise ValueError(
+                f"block token total {total} exceeds int32 list offsets; "
+                "lower token_scale or the rows-per-block"
+            )
         toks = (rng.zipf(1.2, size=total) % VOCAB).astype(np.int32)
         offsets = np.zeros(n_rows + 1, dtype=np.int32)
         np.cumsum(n_tok, out=offsets[1:])

@@ -2652,3 +2652,52 @@ def test_stateful_stream_quantile_names_precise(spark, tmp_path):
         stream, "v", "k", quantiles=(1.0, 0.9999995)
     )
     assert "q1_0" in out.columns and "q0_9999995" in out.columns
+
+
+def test_review_guards_topk_global_hh_reserved_multimodal(spark):
+    """Third review pass guards: global sample_topk (by=[]) takes the
+    TakeOrderedAndProject path with a parseable SQL twin; heavy_hitters
+    rejects reserved-name collisions; frame_sample validates stride;
+    binary_features handles non-bigint id types."""
+    import duckdb
+    import pandas as pd
+
+    from go_tdigest_spark.operators import sample_topk_per_group
+    from go_tdigest_spark.operators.multimodal import (
+        binary_features,
+        frame_sample,
+    )
+    from go_tdigest_spark.operators.sample import sample_topk_per_group_sql
+    from go_tdigest_spark.operators.sketch_agg import heavy_hitters
+
+    # global top-k == duckdb twin
+    rows = [(f"k{i:03d}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r["k"] for r in sample_topk_per_group(df, "k", [], 10, seed=3).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "v"]))
+    want = {
+        r[0]
+        for r in con.execute(
+            sample_topk_per_group_sql("t", "k", [], 10, seed=3)
+        ).fetchall()
+    }
+    assert got == want and len(got) == 10
+
+    # heavy_hitters reserved names
+    bad = spark.createDataFrame([(1, 2)], "_ch long, x long")
+    with pytest.raises(ValueError, match="reserved"):
+        heavy_hitters(bad, ["_ch"], phi=0.5)
+
+    # frame_sample stride validation
+    bin_df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh"))], "doc_id int, payload binary"
+    )
+    with pytest.raises(ValueError, match="stride"):
+        frame_sample(bin_df, "payload", "doc_id", stride=0)
+    out = frame_sample(bin_df, "payload", "doc_id", stride=2).collect()
+    assert bytes(out[0]["frames"]) == b"aceg"
+
+    # binary_features with an INT (not bigint) id column
+    feats = binary_features(bin_df, "payload", "doc_id").collect()
+    assert feats[0]["doc"] == 1 and feats[0]["n_bytes"] == 8

@@ -1496,3 +1496,57 @@ def test_theta_from_bytes_validation():
     forged2 = b[:4] + _struct.pack("<BIQI", 1, 16, 0, 0)
     with pytest.raises(ValueError, match="theta=0"):
         ThetaSketch.from_bytes(forged2)
+
+
+def test_cms_seed_in_wire_format_and_merge_guard():
+    """A non-default-seed CMS must round-trip with its own hash rows
+    (the v1 format dropped the seed: rehydrating against the default
+    probed wrong columns and could UNDERcount), and merging sketches
+    hashed with different seeds must raise."""
+    from go_tdigest_spark.sketches import CountMinSketch
+
+    h = np.arange(1, 2000, dtype=np.int64)
+    c7 = CountMinSketch(4, 256, seed=7)
+    c7.update_hashes(h)
+    back = CountMinSketch.from_bytes(c7.to_bytes())
+    assert back.seed == 7
+    assert (back.point_query_hashes(h) == c7.point_query_hashes(h)).all()
+    # overcount-only invariant survives the round-trip
+    assert (back.point_query_hashes(h) >= 1).all()
+
+    c9 = CountMinSketch(4, 256, seed=9)
+    c9.update_hashes(h)
+    with pytest.raises(ValueError, match="config mismatch"):
+        c9.merge(c7)
+    with pytest.raises(ValueError, match="payload length"):
+        CountMinSketch.from_bytes(c7.to_bytes() + b"\x00")
+
+
+def test_sketch_read_udfs_null_args(spark):
+    """SQL NULL numeric args arrive as NaN in pandas UDFs — fd_singular_values
+    and theta_rse_bound must return NULL, not crash / return 0.0."""
+    import numpy as np
+
+    from go_tdigest_spark.operators.sketch_agg import fd_agg, theta_agg
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "id long, v array<double>"
+    )
+    fd = fd_agg(emb, "v", dim=2, ell=4).select("sketch")
+    fd.createOrReplaceTempView("_fd_null_t")
+    ev = spark.createDataFrame([(i,) for i in range(50)], "u long")
+    th = theta_agg(ev, ["u"], k=64).select("sketch")
+    th.createOrReplaceTempView("_th_null_t")
+    from go_tdigest_spark.functions import register_sketch_sql_functions
+
+    register_sketch_sql_functions(spark)
+    r = spark.sql(
+        "select fd_singular_values(sketch, CAST(NULL AS INT)) as sv "
+        "from _fd_null_t"
+    ).collect()
+    assert r[0]["sv"] is None
+    r2 = spark.sql(
+        "select theta_rse_bound(sketch, CAST(NULL AS DOUBLE)) as b "
+        "from _th_null_t"
+    ).collect()
+    assert r2[0]["b"] is None
