@@ -10,6 +10,7 @@ from .joins import (
 )
 from .sketch_stream import read_stream_sketches, sketch_stream_writer
 from .stream_agg import (
+    compact_stream_state,
     read_stream_digests,
     read_windowed_digests,
     tdigest_stateful_stream,
@@ -18,6 +19,7 @@ from .stream_agg import (
 )
 
 __all__ = [
+    "compact_stream_state",
     "minhash_signature_stream_writer",
     "read_stream_digests",
     "read_stream_lsh_pairs",

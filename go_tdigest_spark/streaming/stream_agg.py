@@ -255,3 +255,133 @@ def tdigest_stateful_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def compact_stream_state(
+    spark: SparkSession,
+    state_path: str,
+    keep_last: int = 1,
+    target_partitions: int | None = None,
+) -> int:
+    """Compact the append-partials state table: rewrite every committed
+    ``batch_id=N`` directory except the newest ``keep_last`` into ONE
+    directory (id = the highest compacted source id).  Rows are
+    preserved VERBATIM — partials stay partials, so merge-on-read
+    semantics are unchanged for every sketch family and any grouping —
+    only the directory/file count collapses.  This is the "trivially
+    safe background job" the module docstring promises: without it a
+    long-lived stream accumulates one directory per trigger forever and
+    every read pays the full listing.
+
+    Crash-safety protocol (each step idempotent; re-running resumes):
+      1. write the compacted rows to ``_compact_tmp`` (ignored by
+         readers; Spark's _SUCCESS is the commit record) and a
+         _MANIFEST.json naming the source directories;
+      2. delete the source directories;
+      3. rename the tmp to ``batch_id=<target>``.
+    A crash between 2 and 3 leaves the data in the committed tmp — the
+    next call detects it and finishes steps 2-3 before doing anything
+    else.  Readers racing steps 2-3 may briefly observe a state missing
+    the compacted prefix (never a double count); run in a maintenance
+    window if point-in-time completeness matters.
+
+    ``keep_last >= 1`` (default) keeps the newest committed batch
+    untouched, which makes compaction safe to run beside a LIVE stream:
+    foreachBatch can only replay-overwrite the single batch whose
+    checkpoint commit did not land, and that is always the newest.
+    ``keep_last=0`` compacts everything — stream must be stopped.
+
+    Returns the number of directories compacted away (0 = nothing to
+    do; needs at least 2 compactable sources to be worth a rewrite).
+    """
+    import json as _json
+
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(state_path)
+    fs = root.getFileSystem(conf)
+    tmp = HPath(root, "_compact_tmp")
+    manifest_p = HPath(tmp, "_MANIFEST.json")
+
+    def _finish(manifest: dict) -> None:
+        for d in manifest["sources"]:
+            p = HPath(d)
+            if fs.exists(p):
+                fs.delete(p, True)
+        final = HPath(root, f"batch_id={manifest['target_id']}")
+        if fs.exists(final):  # defensive: crash mid-rename re-run
+            fs.delete(final, True)
+        if not fs.rename(tmp, final):
+            raise IOError(f"rename {tmp} -> {final} failed")
+        # drop the now-stale manifest from the final dir (underscore
+        # prefix hides it from readers, but leaving it would confuse a
+        # human and checksum-mismatch any future copy); AFTER the
+        # rename — deleting it earlier would make a crash between
+        # delete and rename unresumable (the resume path needs it)
+        for leftover in ("_MANIFEST.json", "._MANIFEST.json.crc"):
+            lp = HPath(final, leftover)
+            if fs.exists(lp):
+                fs.delete(lp, False)
+
+    # resume a crashed finish step first
+    if fs.exists(HPath(tmp, "_SUCCESS")) and fs.exists(manifest_p):
+        # line-reader through the Hadoop FS stream (spark.read.text
+        # cannot: the default path filter hides _-prefixed files — the
+        # same convention that hides the manifest from the parquet
+        # reader once the dir is renamed into place)
+        br = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(manifest_p), "UTF-8")
+        )
+        lines = []
+        try:
+            while True:
+                line = br.readLine()
+                if line is None:
+                    break
+                lines.append(line)
+        finally:
+            br.close()
+        manifest = _json.loads("\n".join(lines))
+        _finish(manifest)
+        return len(manifest["sources"])
+    if fs.exists(tmp):  # uncommitted leftover from a crashed write
+        fs.delete(tmp, True)
+
+    committed = _committed_batch_dirs(spark, state_path)
+
+    def _bid(d: str) -> int:
+        return int(d.rsplit("batch_id=", 1)[1])
+
+    # NUMERIC order — the lexicographic sort of the reader would put
+    # batch_id=10 before batch_id=2 and "keep newest" would be wrong
+    committed = sorted(committed, key=lambda t: _bid(t[0]))
+    sources = committed[: max(0, len(committed) - keep_last)]
+    if len(sources) < 2:
+        return 0
+    src_dirs = [d for d, _ in sources]
+    src_files = [f for _, fl in sources for f in fl]
+    target_id = _bid(src_dirs[-1])
+    n_out = target_partitions or max(
+        1, min(len(src_files), spark.sparkContext.defaultParallelism)
+    )
+    # batch_id is a dirname-derived partition column, not data — the
+    # compacted dir's name carries the (coarsened) lineage
+    df = (
+        spark.read.option("basePath", state_path)
+        .parquet(*src_files)
+        .drop("batch_id")
+    )
+    df.repartition(n_out).write.mode("overwrite").parquet(
+        f"{state_path}/_compact_tmp"
+    )
+    manifest = {"sources": src_dirs, "target_id": target_id}
+    out = fs.create(manifest_p, True)
+    try:
+        out.write(bytearray(_json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    _finish(manifest)
+    return len(src_dirs)

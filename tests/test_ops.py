@@ -2701,3 +2701,92 @@ def test_review_guards_topk_global_hh_reserved_multimodal(spark):
     # binary_features with an INT (not bigint) id column
     feats = binary_features(bin_df, "payload", "doc_id").collect()
     assert feats[0]["doc"] == 1 and feats[0]["n_bytes"] == 8
+
+
+def test_compact_stream_state(spark, tmp_path):
+    """Compaction rewrites all-but-the-newest committed batch dirs into
+    one, preserves the merged digests bit-for-bit (rows verbatim), and
+    resumes a crash between the tmp commit and the finish step."""
+    import json
+    import os
+    import shutil
+
+    from go_tdigest_spark.streaming import (
+        compact_stream_state,
+        read_stream_digests,
+        tdigest_stream_writer,
+    )
+
+    src = str(tmp_path / "cp_src")
+    state = str(tmp_path / "cp_state")
+    ckpt = str(tmp_path / "cp_ckpt")
+    li = table(spark, SF_TINY, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    li.repartition(8).write.parquet(src)
+    stream = (
+        spark.readStream.schema("l_returnflag string, l_extendedprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        tdigest_stream_writer(
+            stream, "l_extendedprice", ["l_returnflag"], state, ckpt
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def batch_dirs():
+        return sorted(
+            d for d in os.listdir(state) if d.startswith("batch_id=")
+        )
+
+    before_dirs = batch_dirs()
+    assert len(before_dirs) >= 4
+    before = {
+        r["l_returnflag"]: bytes(r["digest"])
+        for r in read_stream_digests(spark, state, ["l_returnflag"]).collect()
+    }
+
+    n = compact_stream_state(spark, state, keep_last=1)
+    assert n == len(before_dirs) - 1
+    after_dirs = batch_dirs()
+    # compacted prefix is ONE dir (named after its highest source id)
+    # plus the untouched newest batch
+    assert len(after_dirs) == 2
+    after = {
+        r["l_returnflag"]: bytes(r["digest"])
+        for r in read_stream_digests(spark, state, ["l_returnflag"]).collect()
+    }
+    assert after == before  # rows verbatim -> merge-on-read identical
+
+    # idempotent: nothing left to compact (needs >= 2 sources)
+    assert compact_stream_state(spark, state, keep_last=1) == 0
+    # keep_last=0 folds the remaining two into one
+    assert compact_stream_state(spark, state, keep_last=0) == 2
+    assert len(batch_dirs()) == 1
+    final = {
+        r["l_returnflag"]: bytes(r["digest"])
+        for r in read_stream_digests(spark, state, ["l_returnflag"]).collect()
+    }
+    assert final == before
+
+    # crash-resume: simulate a crash after the tmp commit but before
+    # the finish step (move the committed dir to _compact_tmp and
+    # write a manifest naming it as its own source via a copy)
+    only = batch_dirs()[0]
+    tmp_dir = os.path.join(state, "_compact_tmp")
+    shutil.copytree(os.path.join(state, only), tmp_dir)
+    with open(os.path.join(tmp_dir, "_MANIFEST.json"), "w") as f:
+        json.dump(
+            {"sources": [os.path.join(state, only)], "target_id": 99}, f
+        )
+    assert compact_stream_state(spark, state) == 1  # finishes the rename
+    assert batch_dirs() == ["batch_id=99"]
+    resumed = {
+        r["l_returnflag"]: bytes(r["digest"])
+        for r in read_stream_digests(spark, state, ["l_returnflag"]).collect()
+    }
+    assert resumed == before
