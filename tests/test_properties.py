@@ -292,3 +292,133 @@ def test_ksweep_fast_path_matches_loop(values, weights, compression):
     assert got_c.dtype == want_c.dtype and got_m.dtype == want_m.dtype
     np.testing.assert_array_equal(got_m, want_m)
     np.testing.assert_array_equal(got_c, want_c)
+
+
+# ----------------------------------------------------- sketch algebra
+
+hash_lists = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    min_size=1,
+    max_size=600,
+)
+
+
+def _np64(xs):
+    return np.array(xs, dtype=np.int64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(values=hash_lists, n_parts=st.integers(min_value=1, max_value=7))
+def test_theta_split_merge_bitwise_and_exactness(values, n_parts):
+    """Theta union is bitwise independent of how the input was split
+    across partials (the property that makes the salted merge tree
+    order-free), and while unsaturated the estimate is EXACT."""
+    from go_tdigest_spark.sketches import ThetaSketch
+
+    h = _np64(values)
+    whole = ThetaSketch(64)
+    whole.update_hashes(h)
+
+    merged = ThetaSketch(64)
+    for part in np.array_split(h, n_parts):
+        p = ThetaSketch(64)
+        if part.size:
+            p.update_hashes(part)
+        merged.merge(p)
+    assert merged.to_bytes() == whole.to_bytes()
+
+    n_distinct = len(np.unique(h))
+    if whole.is_exact():
+        assert whole.estimate() == float(n_distinct)
+    else:
+        # sampling mode: 3-sigma RSE bound holds overwhelmingly; use
+        # 6 sigma so the property never flakes
+        rse6 = 2 * whole.rse_bound(3.0)
+        assert abs(whole.estimate() - n_distinct) <= rse6 * n_distinct + 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=hash_lists, b=hash_lists)
+def test_theta_set_algebra_partition_identity(a, b):
+    """At min-theta the retained sets partition: retained(A∩B) +
+    retained(A\\B) == A's retained hashes below min-theta — exact, for
+    any inputs, saturated or not."""
+    from go_tdigest_spark.sketches import ThetaSketch
+
+    sa, sb = ThetaSketch(32), ThetaSketch(32)
+    sa.update_hashes(_np64(a))
+    sb.update_hashes(_np64(b))
+    inter = sa.intersect(sb)
+    diff = sa.a_not_b(sb)
+    th = min(sa._theta_u(), sb._theta_u())
+    if th >= sa._FULL:  # both exact: no theta cut (2^64 overflows uint64)
+        a_below = sa.hashes
+    else:
+        a_below = sa.hashes[sa.hashes < np.uint64(th)]
+    got = np.sort(np.concatenate([inter.hashes, diff.hashes]))
+    assert np.array_equal(got, np.sort(a_below))
+
+
+@settings(max_examples=60, deadline=None)
+@given(values=hash_lists, n_parts=st.integers(min_value=1, max_value=7))
+def test_hll_and_cms_split_merge_equals_whole(values, n_parts):
+    """HLL register-max and CMS counter-add merges are bitwise equal to
+    a single-pass build for ANY split; CMS point queries never
+    undercount."""
+    from go_tdigest_spark.sketches import HLL, CountMinSketch
+
+    h = _np64(values)
+    hll_whole = HLL(8)
+    hll_whole.update_hashes(h)
+    cms_whole = CountMinSketch(3, 64)
+    cms_whole.update_hashes(h)
+
+    hll_m, cms_m = HLL(8), CountMinSketch(3, 64)
+    for part in np.array_split(h, n_parts):
+        if not part.size:
+            continue
+        p1, p2 = HLL(8), CountMinSketch(3, 64)
+        p1.update_hashes(part)
+        p2.update_hashes(part)
+        hll_m.merge(p1)
+        cms_m.merge(p2)
+    assert hll_m.to_bytes() == hll_whole.to_bytes()
+    assert cms_m.to_bytes() == cms_whole.to_bytes()
+
+    uniq, true_counts = np.unique(h, return_counts=True)
+    est = cms_whole.point_query_hashes(uniq)
+    assert (est >= true_counts).all()  # overcount-only, always
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=500
+    ),
+    k=st.integers(min_value=4, max_value=32),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_misra_gries_recall_guarantee_any_split(values, k, n_parts):
+    """Mergeable MG guarantee for any input and any split: counters
+    never overcount, err <= N/(k+1), and every item with true frequency
+    > N/(k+1) survives the merge with count >= true - err."""
+    from go_tdigest_spark.sketches import MisraGries
+
+    h = _np64(values)
+    merged = MisraGries(k)
+    for part in np.array_split(h, n_parts):
+        p = MisraGries(k)
+        if part.size:
+            p.update_hashes(part)
+        merged.merge(p)
+
+    n = h.size
+    assert merged.err <= n // (k + 1)
+    uniq, true_counts = np.unique(h, return_counts=True)
+    kept = dict(zip(merged.hashes.tolist(), merged.counts.tolist()))
+    for item, true in zip(uniq.tolist(), true_counts.tolist()):
+        got = kept.get(item)
+        if got is not None:
+            assert got <= true  # never overcounts
+        if true > n // (k + 1):
+            assert got is not None and got >= true - merged.err
