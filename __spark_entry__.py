@@ -1569,6 +1569,10 @@ def oracle_sql() -> dict[str, str]:
         # in the oracle; the Spark side computes the actual bound check
         # against exact companions evaluated in-query, so a hash match
         # certifies the estimate satisfied its published error bound
+        # HAVING guards (here + td_cdf_events + kll_stats_lineitem):
+        # the sketch aggs drop NULL values BEFORE grouping, so a group
+        # whose every value is NULL has no sketch row — the oracle must
+        # omit it too (same rationale as hll_distinct_users' WHERE)
         "td_quantiles_lineitem": """
             SELECT l_returnflag,
                    count(l_extendedprice) AS n,
@@ -1577,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99,
                    TRUE AS ok_winsor_lo, TRUE AS ok_winsor_hi
             FROM lineitem GROUP BY l_returnflag
+            HAVING count(l_extendedprice) > 0
         """,
         "td_cdf_events": """
             SELECT event_type,
@@ -1586,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ok_cdf10, TRUE AS ok_cdf100, TRUE AS ok_iqm,
                    TRUE AS ok_rank
             FROM events GROUP BY event_type
+            HAVING count(value) > 0
         """,
         "td_drift_events": """
             WITH c AS (SELECT count(value) AS n FROM events
@@ -1595,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.n AS n_click, v.n AS n_view,
                    c.n + v.n AS n_merged, TRUE AS ks_ok
             FROM c, v
+            WHERE c.n > 0 AND v.n > 0
         """,
         "td_bucket_lineitem": """
             SELECT l_returnflag, b.bucket, count(*) AS group_n,
@@ -1788,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
                    min(l_extendedprice) AS min_price,
                    max(l_extendedprice) AS max_price
             FROM lineitem GROUP BY l_returnflag
+            HAVING count(l_extendedprice) > 0
         """,
         # hll_distinct_users: WHERE (not bare count(user_id)): hll_agg
         # drops NULL rows BEFORE grouping, so an all-NULL group has no
@@ -1819,6 +1827,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ok_theta_union, TRUE AS ok_theta_common,
                    TRUE AS ok_theta_diff
             FROM ar, br
+            WHERE ar.n > 0 AND br.n > 0
         """,
         "cms_supplier_freq": """
             WITH f AS (

@@ -112,6 +112,14 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         ok = True
+        if len(spark_rows) == 0 and len(duck_rows) == 0:
+            # a 0 == 0 "match" is vacuous — a regression that empties
+            # BOTH sides (broken threshold dropping every pair, empty
+            # cohort collapse) must surface loudly, not convert the
+            # gate into a no-op
+            failures.append(name)
+            print(f"FAIL  {name}: both sides returned zero rows (vacuous)")
+            continue
         if sorted(spark_cols) != sorted(duck_cols):
             ok = False
             print(f"FAIL  {name}: schema {sorted(spark_cols)} != {sorted(duck_cols)}")
@@ -131,6 +139,16 @@ def main() -> int:
             print(f"ok    {name}: exact match ({len(spark_rows)} rows, {took:.1f}s)")
         else:
             failures.append(name)
+        # release the tables some queries persist (gram/signature/
+        # index/band/pack-range) so 50 queries in one session do not
+        # accumulate cached snapshots and evict each other at sf0.1
+        try:
+            from go_tdigest_spark.operators import release_dedup_caches
+
+            release_dedup_caches()
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — cache hygiene must not fail the gate
+            pass
 
     print(
         f"\n{len(qs) - len(set(failures))}/{len(qs)} queries ok"
