@@ -151,9 +151,17 @@ def tdigest_windowed_stream_writer(
     checkpoint_path: str,
     window_duration: str = "5 minutes",
     compression: float = 100.0,
+    slide_duration: str | None = None,
 ):
     """Event-time windowed digests: append partials keyed by
     (event-time window, group) each trigger; merge-on-read.
+
+    ``slide_duration``: SLIDING windows (e.g. a 1-hour window every 5
+    minutes) — Catalyst's TimeWindowing rule expands each row into its
+    window_duration/slide_duration overlapping windows before the
+    partial build, so the per-window digests stay exact with no extra
+    code.  Default None = tumbling.  State grows by the same overlap
+    factor (each row's mass appears in every window containing it).
 
     Late-data posture: because digests are mergeable, a late row simply
     appends another partial to its (window, key) — readers always see
@@ -168,9 +176,12 @@ def tdigest_windowed_stream_writer(
     by = list(by)
 
     def window_partials(batch_df: DataFrame) -> DataFrame:
-        windowed = batch_df.withColumn(
-            "window_start", F.window(F.col(ts_col), window_duration).start
+        win = (
+            F.window(F.col(ts_col), window_duration, slide_duration)
+            if slide_duration
+            else F.window(F.col(ts_col), window_duration)
         )
+        windowed = batch_df.withColumn("window_start", win.start)
         return build_partials(windowed, value_col, ["window_start"] + by, compression)
 
     return sketch_stream_writer(

@@ -2790,3 +2790,55 @@ def test_compact_stream_state(spark, tmp_path):
         for r in read_stream_digests(spark, state, ["l_returnflag"]).collect()
     }
     assert resumed == before
+
+
+def test_sliding_windowed_streaming(spark, tmp_path):
+    """slide_duration: every row contributes a partial to EVERY
+    overlapping window (2h window sliding 1h = each row in 2 windows);
+    per-window digests match the batch sliding-window expansion
+    exactly."""
+    from go_tdigest_spark.streaming import (
+        read_windowed_digests,
+        tdigest_windowed_stream_writer,
+    )
+
+    src = str(tmp_path / "sw_src")
+    state = str(tmp_path / "sw_state")
+    ckpt = str(tmp_path / "sw_ckpt")
+    ev = table(spark, SF_TINY, "events").select("ts", "event_type", "value")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        tdigest_windowed_stream_writer(
+            stream, "value", "ts", ["event_type"], state, ckpt,
+            window_duration="2 hours", slide_duration="1 hour",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    merged = read_windowed_digests(spark, state, ["event_type"]).toPandas()
+    expect = (
+        ev.withColumn(
+            "window_start", F.window("ts", "2 hours", "1 hour").start
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count("value").alias("n"))
+        .toPandas()
+        .set_index(["window_start", "event_type"])
+    )
+    assert len(merged) == len(expect)
+    total_window_rows = 0
+    for _, row in merged.iterrows():
+        d = serde.decode(bytes(row["digest"]))
+        e = expect.loc[(row["window_start"], row["event_type"])]
+        assert d.count == e["n"]
+        total_window_rows += d.count
+    # overlap factor 2: window mass is exactly twice the row mass
+    assert total_window_rows == 2 * ev.where(F.col("value").isNotNull()).count()
