@@ -330,6 +330,9 @@ def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number()=1 over (price DESC, orderkey ASC): lexicographic
     # struct max takes the highest price, then the lowest orderkey via
     # the negated tiebreak
+    # r5: absorbs the former sort_limit_orders as the 'global_top10'
+    # variant (global ORDER BY + LIMIT -> TakeOrderedAndProject, no full
+    # sort) — freed the 50th driver slot for fd_embedding_spectrum
     orders = table(spark, sf_dir, "orders")
     best = orders.groupBy("o_custkey").agg(
         F.max(
@@ -338,20 +341,23 @@ def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("top")
     )
-    return best.select(
+    per_cust = best.select(
+        F.lit("per_cust_top1").alias("variant"),
         "o_custkey",
         (-F.col("top.neg_key")).alias("o_orderkey"),
         F.col("top.o_totalprice").alias("o_totalprice"),
     )
-
-
-def _q_sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
-    return (
+    glob = (
         orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .select("o_orderkey", "o_totalprice")
+        .select(
+            F.lit("global_top10").alias("variant"),
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+        )
         .limit(10)
     )
+    return per_cust.unionByName(glob)
 
 
 def _q_td_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,27 +1105,35 @@ def _q_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = table(spark, sf_dir, "events")
-    a = hll_agg(ev.where("event_type = 'click'"), ["user_id"]).select(
-        F.col("sketch").alias("sa"), F.col("n_rows").alias("click_rows")
+    # ONE events scan feeds everything (r4 ran ~8): the filtered
+    # two-cohort projection is persisted, then the HLL build, the theta
+    # build, and the single exact-arm aggregation all read the cache.
+    # The cohort filter keeps user_id IS NOT NULL so n_rows matches the
+    # oracle's per-cohort row counts (sketch aggs drop NULLs anyway).
+    base = (
+        ev.where(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .select("event_type", "user_id")
+        .persist()
     )
-    b = hll_agg(ev.where("event_type = 'purchase'"), ["user_id"]).select(
-        F.col("sketch").alias("sb"), F.col("n_rows").alias("purchase_rows")
-    )
-    ua = (
-        ev.where("event_type = 'click' AND user_id IS NOT NULL")
-        .select("user_id")
-        .distinct()
-    )
-    ub = (
-        ev.where("event_type = 'purchase' AND user_id IS NOT NULL")
-        .select("user_id")
-        .distinct()
-    )
-    exact_common = ua.join(ub, "user_id").agg(
-        F.count(F.lit(1)).alias("exact_common")
-    )
-    exact_union = (
-        ua.union(ub).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+    # grouped builds: one partial pass per sketch family over the cache,
+    # 2 result rows each — pivoted to columns with first(when(...))
+    sk = hll_agg(base, ["user_id"], by=["event_type"])
+    skw = sk.agg(
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("sketch")), True
+        ).alias("sa"),
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("n_rows")), True
+        ).alias("click_rows"),
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("sketch")), True
+        ).alias("sb"),
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("n_rows")), True
+        ).alias("purchase_rows"),
     )
     # k=4096 > the fixture's distinct-user count: the theta sketches
     # stay in exact mode, so the ok_theta_* checks certify EQUALITY of
@@ -1127,14 +1141,31 @@ def _q_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ops (sampling-mode error bounds are pinned in pytest at k<=2048,
     # where a 5%-of-union driver bound would sit inside 2 sigma of the
     # k=512 RSE — too tight to be an honest gate)
-    ta = theta_agg(ev.where("event_type = 'click'"), ["user_id"]).select(
-        F.col("sketch").alias("tha")
+    th = theta_agg(base, ["user_id"], by=["event_type"])
+    thw = th.agg(
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("sketch")), True
+        ).alias("tha"),
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("sketch")), True
+        ).alias("thb"),
     )
-    tb = theta_agg(ev.where("event_type = 'purchase'"), ["user_id"]).select(
-        F.col("sketch").alias("thb")
+    # all three exact arms in ONE shuffle over the cache: per-user
+    # membership flags, then a single global conditional aggregation
+    per_user = base.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "click").alias("in_a"),
+        F.max(F.col("event_type") == "purchase").alias("in_b"),
     )
-    exact_click = ua.agg(F.count(F.lit(1)).alias("exact_click_users"))
-    est = a.crossJoin(b).crossJoin(ta).crossJoin(tb).select(
+    exacts = per_user.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(
+            F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)
+        ).alias("exact_common"),
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias(
+            "exact_click_users"
+        ),
+    )
+    est = skw.crossJoin(thw).select(
         "click_rows",
         "purchase_rows",
         hll_estimate(hll_union_pair("sa", "sb")).alias("_u"),
@@ -1144,9 +1175,13 @@ def _q_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         theta_estimate(theta_a_not_b_pair("tha", "thb")).alias("_td"),
     )
     return (
-        est.crossJoin(exact_union)
-        .crossJoin(exact_common)
-        .crossJoin(exact_click)
+        est.crossJoin(exacts)
+        # mirror the oracle's `WHERE ar.n > 0 AND br.n > 0`: an empty
+        # cohort yields NULL from first(when(...)) — emit no row
+        .where(
+            F.col("click_rows").isNotNull()
+            & F.col("purchase_rows").isNotNull()
+        )
         .select(
             "click_rows",
             "purchase_rows",
@@ -1215,6 +1250,80 @@ def _q_cms_supplier_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("over_ok"),
     )
+
+
+def _q_fd_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions under the full driver hash gate — the last
+    sketch family to get one (r4 verdict item 7).  Per label: the
+    sketch's EXACT companions hash directly (n_vectors == count of
+    non-null vectors; both are long), and the estimator certifies
+    itself through three booleans computed against an exact
+    Frobenius-mass arm evaluated in-query:
+
+      * fnorm2_ok   — the sketch-carried ||A||_F^2 (associative float
+        sum) matches the exact sum of squared components to 1e-9 rel;
+      * bound_ok    — the certified spectral bound shrink_total obeys
+        the published FD guarantee shrink_total <= ||A||_F^2 / ell
+        (Ghashami et al. 2016, Thm 1.1) against the EXACT mass;
+      * bfro_ok     — the sketch mass ||B||_F^2 (sum of its squared
+        singular values) sits in [||A||_F^2 - 3*ell*shrink_total,
+        ||A||_F^2]: each shrink removes at least ell*delta and at most
+        (buffer rows <= 3*ell - 1)*delta of squared Frobenius mass.
+
+    ell=8 < rows-per-label at every SF, so shrinkage genuinely fires
+    and the booleans are non-vacuous (shrink_total > 0)."""
+    from go_tdigest_spark.operators import (
+        fd_agg,
+        fd_fnorm2,
+        fd_rows,
+        fd_singular_values,
+        fd_spectral_bound,
+    )
+
+    ELL, DIM = 8, 64
+    emb = table(spark, sf_dir, "embeddings")
+    sk = fd_agg(emb, "embedding", dim=DIM, by=["label"], ell=ELL)
+    # exact Frobenius mass per label: JVM-side array fold, one scan
+    sq = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        emb.where(F.col("embedding").isNotNull())
+        .groupBy("label")
+        .agg(F.sum(sq).alias("exact_f2"))
+    )
+    j = sk.join(F.broadcast(exact), "label")
+    bf2 = F.aggregate(
+        F.transform(
+            fd_singular_values("sketch", 2 * ELL), lambda s: s * s
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    f2 = F.col("exact_f2")
+    return j.select(
+        "label",
+        fd_rows("sketch").alias("n_vectors"),
+        (
+            F.abs(fd_fnorm2("sketch") - f2) <= f2 * 1e-9 + 1e-9
+        ).alias("fnorm2_ok"),
+        (
+            fd_spectral_bound("sketch") <= f2 / ELL + 1e-9
+        ).alias("bound_ok"),
+        (
+            (bf2 <= f2 * (1 + 1e-9) + 1e-9)
+            & (
+                bf2
+                >= f2
+                - 3 * ELL * fd_spectral_bound("sketch")
+                - 1e-6
+            )
+        ).alias("bfro_ok"),
+    ).orderBy("label")
 
 
 def _q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,7 +1635,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _q_agg_pricing_summary,
         "join_customer_orders": _q_join_customer_orders,
         "window_top_orders": _q_window_top_orders,
-        "sort_limit_orders": _q_sort_limit_orders,
         "events_sessionization": _q_events_sessionization,
         "events_minute_rollup": _q_events_minute_rollup,
         "set_ops_nations": _q_set_ops_nations,
@@ -1552,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "hll_overlap_users": _q_hll_overlap_users,
         "cms_supplier_freq": _q_cms_supplier_freq,
+        "fd_embedding_spectrum": _q_fd_embedding_spectrum,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "bloom_membership": _q_bloom_membership,
         "sample_suite_docs": _q_sample_suite_docs,
@@ -1636,7 +1745,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "window_top_orders": """
-            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT 'per_cust_top1' AS variant,
+                   o_custkey, o_orderkey, o_totalprice FROM (
                 SELECT o_custkey, o_orderkey, o_totalprice,
                        row_number() OVER (
                            PARTITION BY o_custkey
@@ -1644,12 +1754,14 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM orders
             ) WHERE rk = 1
-        """,
-        "sort_limit_orders": """
-            SELECT o_orderkey, o_totalprice
-            FROM orders
-            ORDER BY o_totalprice DESC, o_orderkey ASC
-            LIMIT 10
+            UNION ALL
+            SELECT 'global_top10' AS variant,
+                   o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice
+                FROM orders
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+                LIMIT 10
+            )
         """,
         "td_rollup_lineitem": """
             SELECT l_returnflag, l_linestatus,
@@ -1782,7 +1894,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM ev GROUP BY user_id
             )
             SELECT e.event_type, count(*) AS n_events,
-                   sum(d.user_total) AS sum_user_totals
+                   CAST(sum(d.user_total) AS BIGINT) AS sum_user_totals
             FROM ev e JOIN dim d USING (user_id)
             GROUP BY e.event_type
         """,
@@ -1841,6 +1953,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.l_suppkey, p.exact_freq,
                    t.n AS n_added, t.n AS sketch_total, TRUE AS over_ok
             FROM p, t
+        """,
+        # fd_embedding_spectrum: n_vectors is the sketch's EXACT row
+        # counter (summed on merge) so it hashes against count(embedding)
+        # directly; the three ok_* booleans are Spark-side certificates
+        # against the in-query exact Frobenius arm (TRUE literals here,
+        # the estimator convention)
+        "fd_embedding_spectrum": """
+            SELECT label,
+                   count(embedding) AS n_vectors,
+                   TRUE AS fnorm2_ok, TRUE AS bound_ok, TRUE AS bfro_ok
+            FROM embeddings
+            GROUP BY label
+            HAVING count(embedding) > 0
+            ORDER BY label
         """,
         "sample_topk_orders": f"""
             SELECT o_orderstatus, o_orderkey, o_totalprice
@@ -2137,4 +2263,202 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ascii(substr(t, length(t), 1)) END AS tail_byte
             FROM s
         """,
+    }
+
+
+# --------------------------------------------------------------- prod reads
+#
+# Production-only variants of the driver queries whose GATED form carries
+# exact-companion verification arms (second sort-based aggregations,
+# countDistinct companions, doubled twin corpora).  bench.py times these
+# separately (prod_sec vs gate_sec) so round-over-round performance is
+# attributable to the operators, not to oracle arms added in a given
+# round (r4 verdict item 4: seven queries "regressed" 2-6x purely from
+# new arms and the artifact could not show it).  Queries absent here are
+# their own production read.
+
+
+def _p_td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    d = tdigest_agg(li, "l_extendedprice", by=["l_returnflag"])
+    return d.select(
+        "l_returnflag",
+        td_count("digest").alias("n"),
+        td_quantile("digest", 0.0).alias("min_price"),
+        td_quantile("digest", 0.5).alias("p50"),
+        td_quantile("digest", 0.95).alias("p95"),
+        td_quantile("digest", 0.99).alias("p99"),
+        td_quantile("digest", 1.0).alias("max_price"),
+    )
+
+
+def _p_td_cdf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = tdigest_agg(ev, "value", by=["event_type"])
+    return d.select(
+        "event_type",
+        td_count("digest").alias("n"),
+        td_quantile("digest", 0.0).alias("min_value"),
+        td_quantile("digest", 1.0).alias("max_value"),
+        td_cdf("digest", 10.0).alias("cdf_10"),
+        td_cdf("digest", 100.0).alias("cdf_100"),
+        td_trimmed_mean("digest", 0.25, 0.75).alias("iqm"),
+    )
+
+
+def _p_td_mean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = tdigest_agg(docs, "n_chars", by=["source"])
+    return d.select(
+        "source",
+        td_count("digest").alias("n"),
+        F.round(td_trimmed_mean("digest", 0.0, 1.0), 4).alias("mean_chars"),
+    )
+
+
+def _p_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import hll_agg, hll_estimate
+
+    ev = table(spark, sf_dir, "events")
+    sk = hll_agg(ev, ["user_id"], by=["event_type"])
+    return sk.select(
+        "event_type", "n_rows", hll_estimate("sketch").alias("est_distinct")
+    )
+
+
+def _p_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import (
+        hll_agg,
+        hll_estimate,
+        hll_intersect_estimate,
+        hll_union_pair,
+        theta_a_not_b_pair,
+        theta_agg,
+        theta_estimate,
+        theta_intersect_pair,
+        theta_union_pair,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    base = (
+        ev.where(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .select("event_type", "user_id")
+        .persist()
+    )
+    sk = hll_agg(base, ["user_id"], by=["event_type"])
+    skw = sk.agg(
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("sketch")), True
+        ).alias("sa"),
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("sketch")), True
+        ).alias("sb"),
+    )
+    th = theta_agg(base, ["user_id"], by=["event_type"])
+    thw = th.agg(
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("sketch")), True
+        ).alias("tha"),
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("sketch")), True
+        ).alias("thb"),
+    )
+    return skw.crossJoin(thw).select(
+        hll_estimate(hll_union_pair("sa", "sb")).alias("hll_union"),
+        hll_intersect_estimate("sa", "sb").alias("hll_common"),
+        theta_estimate(theta_union_pair("tha", "thb")).alias("theta_union"),
+        theta_estimate(theta_intersect_pair("tha", "thb")).alias(
+            "theta_common"
+        ),
+        theta_estimate(theta_a_not_b_pair("tha", "thb")).alias("theta_diff"),
+    )
+
+
+def _p_cms_supplier_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import cms_agg, cms_point_query, cms_total
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_suppkey").isNotNull())
+    sk = cms_agg(li, ["l_suppkey"], by=[], d=5, w=4096)
+    probes = li.select("l_suppkey").distinct().orderBy("l_suppkey").limit(10)
+    return sk.crossJoin(F.broadcast(probes)).select(
+        "l_suppkey",
+        cms_point_query("sketch", F.xxhash64("l_suppkey")).alias("est_freq"),
+        cms_total("sketch").alias("sketch_total"),
+    )
+
+
+def _p_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import bloom_agg, bloom_might_contain
+
+    orders = table(spark, sf_dir, "orders")
+    blooms = bloom_agg(orders, ["o_custkey"], by=["o_orderstatus"])
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+    return (
+        blooms.crossJoin(F.broadcast(cust))
+        .select(
+            "o_orderstatus",
+            bloom_might_contain(
+                "sketch",
+                F.xxhash64("c_custkey"),
+                F.xxhash64("c_custkey", F.lit(1)),
+            ).alias("maybe"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.col("maybe").cast("int")).alias("approx_members"))
+    )
+
+
+def _p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the real corpus (no id-shifted twin doubling, no identical-text
+    # oracle join): signatures -> banded candidates -> hamming filter
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    sigs = dedup.simhash_signatures(docs, "text", "doc_id")
+    return dedup.simhash_candidate_pairs(sigs, max_hamming=3)
+
+
+def _p_fd_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_tdigest_spark.operators import (
+        fd_agg,
+        fd_fnorm2,
+        fd_rows,
+        fd_singular_values,
+        fd_spectral_bound,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    sk = fd_agg(emb, "embedding", dim=64, by=["label"], ell=8)
+    return sk.select(
+        "label",
+        fd_rows("sketch").alias("n_vectors"),
+        fd_fnorm2("sketch").alias("fnorm2"),
+        fd_spectral_bound("sketch").alias("spectral_bound"),
+        fd_singular_values("sketch", 4).alias("top4_sv"),
+    )
+
+
+def prod_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Production-only twins of the gate-armed driver queries, keyed by
+    the SAME names as ``queries()`` so bench.py can report prod_sec and
+    gate_sec side by side."""
+    return {
+        "td_quantiles_lineitem": _p_td_quantiles_lineitem,
+        "td_cdf_events": _p_td_cdf_events,
+        "td_mean_documents": _p_td_mean_documents,
+        "hll_distinct_users": _p_hll_distinct_users,
+        "hll_overlap_users": _p_hll_overlap_users,
+        "cms_supplier_freq": _p_cms_supplier_freq,
+        "bloom_membership": _p_bloom_membership,
+        "dedup_simhash": _p_dedup_simhash,
+        "fd_embedding_spectrum": _p_fd_embedding_spectrum,
     }

@@ -23,6 +23,7 @@ beside the Spark expressions.
 from __future__ import annotations
 
 import re
+import threading
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -47,27 +48,40 @@ SH_MOD = 144_115_188_075_855_881
 # without them, making the cached table unreleasable short of
 # spark.catalog.clearCache().  The registry survives composition:
 # looping batch callers call release_dedup_caches() between iterations.
+# Growth is bounded by the CALLER's release discipline, not by this
+# module: entries (and their executor storage) accumulate until
+# release_dedup_caches() runs — a long-lived session looping over
+# corpora without releasing grows both without bound.  Mutation is
+# lock-guarded so concurrent driver threads (e.g. parallel query
+# submission against one SparkSession) can't lose registrations to a
+# list race.
 _PERSISTED_CACHE: list[DataFrame] = []
+_PERSISTED_LOCK = threading.Lock()
 
 
 def release_dedup_caches() -> int:
     """Unpersist every signature/band/gram/index table persisted by
     this module's operators in this process; returns how many were
     released.  Safe to call at any time — later actions on a released
-    plan recompute instead of reading cache."""
+    plan recompute instead of reading cache.  Call this between
+    corpus-loop iterations in long-lived sessions: the registry (and
+    the executor storage behind it) otherwise grows without bound."""
     n = 0
-    while _PERSISTED_CACHE:
-        d = _PERSISTED_CACHE.pop()
+    while True:
+        with _PERSISTED_LOCK:
+            if not _PERSISTED_CACHE:
+                return n
+            d = _PERSISTED_CACHE.pop()
         try:
             d.unpersist()
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass
-    return n
 
 
 def _register_persisted(d: DataFrame) -> DataFrame:
-    _PERSISTED_CACHE.append(d)
+    with _PERSISTED_LOCK:
+        _PERSISTED_CACHE.append(d)
     return d
 
 

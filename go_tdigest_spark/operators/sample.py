@@ -450,7 +450,7 @@ def sample_split_sql(
 # doc ids would move in lockstep across seeds and the inclusion
 # probabilities would not track the weights.  The quintic map
 # x -> x^5 mod p is a BIJECTION on [0, p) (gcd(5, p-1) = 1 for
-# p = 2^31-1: p-1 = 2*3*7*11*31*151*331) — marginal uniformity is
+# p = 2^31-1: p-1 = 2*3^2*7*11*31*151*331) — marginal uniformity is
 # preserved exactly — and is nonlinear, so per-key differences vary
 # with the key value.  All intermediates fit int64 (operands < 2^31,
 # products < 2^62) on numpy, Spark SQL, and DuckDB alike.

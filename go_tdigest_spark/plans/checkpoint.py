@@ -230,19 +230,40 @@ class CheckpointedSketchJob:
             ]
             if files and fs.exists(marker):
                 out.extend(files)
-        if not out:
-            raise FileNotFoundError(
-                f"no committed epoch data under {self.dir}/partials"
-            )
+        # may legitimately be empty: every committed epoch can contain
+        # zero data files (all-empty input writes only _SUCCESS) — the
+        # "no committed epochs at all" error belongs to _committed_dirs
         return out
+
+    def _committed_partials(self) -> DataFrame:
+        """Partials of all committed epochs.  When at least one epoch is
+        committed but every one is empty (all-empty input), returns an
+        EMPTY DataFrame with the partials schema — callers see the same
+        shape a normal run yields, not FileNotFoundError (that error is
+        reserved for 'no committed epochs at all', raised by
+        _committed_dirs inside _committed_files)."""
+        files = self._committed_files()
+        if not files:
+            # synthesize the schema the same way run_epoch writes it;
+            # `epoch` mirrors the partition-discovery column of the
+            # non-empty read path (discovery infers int)
+            src = self.spark.read.parquet(self.input_path).limit(0)
+            return (
+                self._build(src)
+                .withColumn("partition_id", F.spark_partition_id())
+                .withColumn("wall_started", F.lit(0.0))
+                .withColumn("epoch", F.lit(0).cast("int"))
+                .limit(0)
+            )
+        return self.spark.read.option(
+            "basePath", os.path.join(self.dir, "partials")
+        ).parquet(*files)
 
     def merged(self) -> DataFrame:
         # read only COMMITTED epochs: an interrupted overwrite leaves an
         # uncommitted directory whose partial contents must never leak
         # into results (_SUCCESS is the commit record on the read path too)
-        partials = self.spark.read.option(
-            "basePath", os.path.join(self.dir, "partials")
-        ).parquet(*self._committed_files())
+        partials = self._committed_partials()
         sel = partials.select(*(self.by + list(self._data_cols)))
         # storage-read partials: size the tree by partial count, not scan
         # partitions (see _tree.py); parquet count() is metadata-only
@@ -252,9 +273,7 @@ class CheckpointedSketchJob:
     # ----------------------------------------------------------- lineage
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.option(
-            "basePath", os.path.join(self.dir, "partials")
-        ).parquet(*self._committed_files())
+        return self._committed_partials()
 
     def metrics(self) -> DataFrame:
         lin = self.lineage()

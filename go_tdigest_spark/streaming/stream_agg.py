@@ -204,12 +204,23 @@ def tdigest_stateful_stream(
     key_col: str,
     compression: float = 100.0,
     quantiles: tuple = (0.5, 0.99),
+    names: Sequence[str] | None = None,
 ):
     """Custom stateful streaming operator: per-key digest state maintained
     with ``applyInPandasWithState``.  Every trigger folds the new rows
     into the key's digest (mergeable state — the property that makes the
     sketch streaming-friendly, reference README.md:3-4) and emits the
     updated count and quantile estimates.
+
+    Output column naming: quantile columns default to
+    ``q<repr(q)>`` with ``.``/``-`` mapped to ``_``/``m`` (e.g.
+    ``q0_5``, ``q0_999``).  NOTE — this CHANGED when the naming moved
+    from ``format(q, 'g')`` (6 significant digits, collision-prone at
+    e.g. 0.9999995 vs 1.0) to exact-roundtrip ``repr``: any quantile
+    whose repr differs from its 'g' form gets a different column name
+    than earlier releases emitted.  Callers with pinned downstream
+    schemas can pass ``names`` (one per quantile, same order) to keep
+    their previous column names.
 
     Use this shape when per-trigger estimates must be queryable in the
     output stream itself; use the append-partials/merge-on-read shape
@@ -231,7 +242,15 @@ def tdigest_stateful_stream(
         # name labeling the wrong quantile)
         return "q" + repr(float(q)).replace(".", "_").replace("-", "m")
 
-    names = [q_name(q) for q in quantiles]
+    if names is None:
+        names = [q_name(q) for q in quantiles]
+    else:
+        names = [str(n) for n in names]
+        if len(names) != len(quantiles):
+            raise ValueError(
+                f"names has {len(names)} entries for "
+                f"{len(quantiles)} quantiles"
+            )
     if len(set(names)) != len(names):
         raise ValueError("duplicate quantiles")
     q_cols = ", ".join(f"{n} double" for n in names)

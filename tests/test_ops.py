@@ -265,6 +265,74 @@ def test_checkpoint_resume(spark, tmp_path):
     assert set(met["epoch"]) == {0, 1, 2, 3}
 
 
+def test_checkpoint_all_empty_input(spark, tmp_path):
+    """All-empty input: committed epochs exist but may carry zero data
+    files — merged()/lineage()/metrics() must return EMPTY DataFrames
+    with the partials schema, not FileNotFoundError (that error is
+    reserved for 'no committed epochs at all')."""
+    import glob
+
+    ckpt = str(tmp_path / "ckpt_empty")
+    src = str(tmp_path / "input_empty")
+    li = table(spark, SF_TINY, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    li.limit(0).repartition(4).write.parquet(src)
+
+    job = CheckpointedSketchJob(
+        spark, src, "l_extendedprice", ["l_returnflag"], ckpt, n_epochs=2
+    )
+    final = job.run()
+    assert final.count() == 0
+    assert job.completed_epochs() == [0, 1]
+
+    # force the zero-data-file shape deterministically (Spark versions
+    # differ on whether an empty write leaves a schema-only part file):
+    # drop every data file, keep the _SUCCESS commit markers
+    for f in glob.glob(os.path.join(ckpt, "partials", "epoch=*", "*")):
+        if not os.path.basename(f).startswith(("_", ".")):
+            os.remove(f)
+    assert job._committed_files() == []
+
+    lin = job.lineage()
+    assert lin.count() == 0
+    for col in ("digest", "n_rows", "total_weight", "partition_id",
+                "wall_started", "epoch", "l_returnflag"):
+        assert col in lin.columns, col
+    assert job.merged().count() == 0
+    assert job.metrics().count() == 0
+
+    # 'no committed epochs at all' still raises
+    job2 = CheckpointedSketchJob(
+        spark, src, "l_extendedprice", ["l_returnflag"],
+        str(tmp_path / "ckpt_none"), n_epochs=2,
+    )
+    with pytest.raises(FileNotFoundError):
+        job2.merged()
+
+
+def test_stateful_stream_names_override(spark):
+    """names= keeps pinned downstream schemas stable across the
+    repr-based default renaming (ADVICE r4); length mismatch raises."""
+    from go_tdigest_spark.streaming import tdigest_stateful_stream
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .selectExpr("CAST(value AS DOUBLE) v", "CAST(value % 3 AS STRING) k")
+    )
+    out = tdigest_stateful_stream(
+        stream, "v", "k", quantiles=(0.5, 0.9999995), names=("p50", "ptail")
+    )
+    assert out.columns == ["key", "total", "p50", "ptail"]
+    # default: exact-roundtrip repr naming (no 6-digit collision)
+    out2 = tdigest_stateful_stream(stream, "v", "k", quantiles=(0.5, 0.9999995))
+    assert out2.columns == ["key", "total", "q0_5", "q0_9999995"]
+    with pytest.raises(ValueError, match="names has"):
+        tdigest_stateful_stream(stream, "v", "k", quantiles=(0.5,), names=("a", "b"))
+
+
 def test_streaming_digests(spark, tmp_path):
     src = str(tmp_path / "stream_src")
     state = str(tmp_path / "state")

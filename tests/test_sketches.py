@@ -534,6 +534,46 @@ def test_driver_sketch_queries_bounds_gated(spark):
         assert e <= exact + (np.e / 4096) * total
 
 
+def test_fd_driver_query_bounds_gated_and_nonvacuous(spark):
+    """fd_embedding_spectrum (the r5 driver row for Frequent Directions):
+    every certificate boolean is True at the driver SF, n_vectors is the
+    exact per-label count, AND the sketch genuinely shrank (shrink_total
+    > 0 for every label) so the spectral-bound booleans are non-vacuous
+    — ell=8 < rows per label by construction."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as entry
+    from go_tdigest_spark.operators import fd_agg, fd_spectral_bound
+
+    sf = "/root/testdata/sf0.01"
+    qs = entry.queries()
+    got = qs["fd_embedding_spectrum"](spark, sf).toPandas()
+    assert len(got) == 10
+    assert got["fnorm2_ok"].all()
+    assert got["bound_ok"].all()
+    assert got["bfro_ok"].all()
+    truth = duckdb.sql(
+        "SELECT label, count(embedding) AS n "
+        f"FROM read_parquet('{sf}/embeddings.parquet') GROUP BY 1"
+    ).fetchdf().set_index("label")["n"]
+    for lbl, row in got.set_index("label").iterrows():
+        assert row["n_vectors"] == truth[lbl]
+    # non-vacuity: the same build really applied shrinkage everywhere
+    emb = table(spark, sf, "embeddings")
+    shr = (
+        fd_agg(emb, "embedding", dim=64, by=["label"], ell=8)
+        .select("label", fd_spectral_bound("sketch").alias("b"))
+        .toPandas()
+    )
+    assert (shr["b"] > 0).all()
+
+
 def test_sketch_sql_function_registration(spark):
     """SQL-only consumers can read every sketch type the aggregations
     produce (mirrors the t-digest's register_sql_functions)."""
