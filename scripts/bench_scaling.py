@@ -1,15 +1,24 @@
 """Two-parallelism scaling benchmark (the north rule's N -> 4N evidence).
 
 No multi-node cluster exists in this sandbox, so the two-cluster-size
-criterion is evidenced by running the identical sketch-build job at
-local[1], local[2], local[4], local[8], and local[32] on the identical
-deterministic tokens table.  The primary N -> 4N evidence (the `pass`
-flag) is local[1] -> local[4] with efficiency = (R_4 / R_1) / 4
-(gate: >= 0.8): the lowest-parallelism pair on this box, where the
-shared memory bus is least saturated, is the best single-box proxy for
-NODE-count scaling (each real node brings its own bus).  2 -> 8 and
-8 -> 32 are reported as transparency data points; the per-token job is
-bus-bound at high thread counts (rationale in BENCH/BASELINE.md).
+criterion is evidenced by running identical jobs at local[1], local[2],
+local[4], local[8], and local[32] on identical deterministic input.
+TWO workloads cover both plan shapes (protocol in BASELINE.md section 3):
+
+  W1 token-sketch (map-heavy): per-token + per-sequence t-digest by
+     source over the F1 tokens table — partials + salted tree merge.
+  W2 minhash-LSH (shuffle-heavy): end-to-end near-dup candidate pairs
+     over the F5 docs corpus — signatures -> banded equijoin ->
+     ids-only pair dedup -> signature join-back.  Its candidate-pair
+     count is a cross-parallelism determinism invariant (asserted).
+
+The primary N -> 4N evidence (the `pass` flag) is local[1] -> local[4]
+with efficiency = (R_4 / R_1) / 4 (gate: >= 0.8) on BOTH workloads:
+the lowest-parallelism pair on this box, where the shared memory bus is
+least saturated, is the best single-box proxy for NODE-count scaling
+(each real node brings its own bus).  2 -> 8 and 8 -> 32 are reported
+as transparency data points; the per-token job is bus-bound at high
+thread counts (rationale in BENCH/BASELINE.md).
 Protocol per BASELINE.md §3: job time only (session startup excluded),
 shuffle partitions scaled with cores, multiple reps.  MIN of reps is
 reported (all reps recorded alongside): the Firecracker host throttles
@@ -40,10 +49,16 @@ DATA_DIR = os.path.join(REPO, ".benchdata")
 N_ROWS = 786_432  # 96 blocks
 PASSES = 2
 SEQ_PASSES = 8
+LSH_ROWS = 131_072  # F5 docs corpus for the shuffle-heavy W2 workload
+LSH_PARAMS = dict(n=5, n_hashes=64, bands=16, threshold=0.5)
 
 
 def fixture_path() -> str:
     return os.path.join(DATA_DIR, f"tokens_{N_ROWS}.parquet")
+
+
+def lsh_fixture_path() -> str:
+    return os.path.join(DATA_DIR, f"docs_{LSH_ROWS}.parquet")
 
 
 def build_session(cores: int):
@@ -72,16 +87,37 @@ def build_session(cores: int):
 
 
 def ensure_fixture() -> None:
-    if os.path.exists(os.path.join(fixture_path(), "_SUCCESS")):
+    need_tokens = not os.path.exists(os.path.join(fixture_path(), "_SUCCESS"))
+    need_docs = not os.path.exists(
+        os.path.join(lsh_fixture_path(), "_SUCCESS")
+    )
+    if not (need_tokens or need_docs):
         return
-    print(f"generating fixture: {N_ROWS} rows -> {fixture_path()}", file=sys.stderr)
     spark = build_session(32)
     spark.sparkContext.setLogLevel("ERROR")
-    from go_tdigest_spark.sources.tokens import write_tokens
+    if need_tokens:
+        print(
+            f"generating fixture: {N_ROWS} rows -> {fixture_path()}",
+            file=sys.stderr,
+        )
+        from go_tdigest_spark.sources.tokens import write_tokens
 
-    t0 = time.time()
-    write_tokens(spark, fixture_path(), N_ROWS, partitions=64)
-    print(f"fixture written in {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        write_tokens(spark, fixture_path(), N_ROWS, partitions=64)
+        print(f"fixture written in {time.time()-t0:.1f}s", file=sys.stderr)
+    if need_docs:
+        print(
+            f"generating docs fixture: {LSH_ROWS} rows -> "
+            f"{lsh_fixture_path()}",
+            file=sys.stderr,
+        )
+        from go_tdigest_spark.sources.docs import write_docs
+
+        t0 = time.time()
+        write_docs(spark, lsh_fixture_path(), LSH_ROWS, partitions=64)
+        print(
+            f"docs fixture written in {time.time()-t0:.1f}s", file=sys.stderr
+        )
     spark.stop()
 
 
@@ -136,10 +172,32 @@ def run_job(cores: int, reps: int) -> dict:
         seq_secs.append(time.time() - t0)
         assert sum(r["total_weight"] for r in rows) == n_rows // PASSES * SEQ_PASSES
 
+    # W2: shuffle-heavy minhash-LSH end-to-end over the F5 docs corpus.
+    # repartition(64) is part of the measured job at every level — the
+    # small fixture reads as a handful of splits, and a real corpus scan
+    # has many; the fixed width keeps work identical across levels.
+    from go_tdigest_spark.operators import minhash_lsh_pairs
+    from go_tdigest_spark.operators.dedup import release_dedup_caches
+
+    docs = spark.read.parquet(lsh_fixture_path()).repartition(64)
+    # warmup outside the timed region (python workers + page cache)
+    minhash_lsh_pairs(
+        docs.limit(2000), "text", "doc", **LSH_PARAMS
+    ).count()
+    release_dedup_caches()
+    lsh_secs, n_pairs = [], None
+    for _ in range(reps):
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(docs, "text", "doc", **LSH_PARAMS)
+        n_pairs = pairs.count()
+        lsh_secs.append(time.time() - t0)
+        release_dedup_caches()
+
     spark.stop()
     # min, not median: see module docstring (host throttle bias)
     tok_t = min(token_secs)
     seq_t = min(seq_secs)
+    lsh_t = min(lsh_secs)
     return {
         "cores": cores,
         "rows": int(n_rows),
@@ -149,6 +207,10 @@ def run_job(cores: int, reps: int) -> dict:
         "tokens_per_sec": int(n_tokens / tok_t),
         "seq_sketch_sec": round(seq_t, 2),
         "seq_rows_per_sec": int((n_rows // PASSES) * SEQ_PASSES / seq_t),
+        "lsh_sec": round(lsh_t, 2),
+        "lsh_all_secs": [round(s, 2) for s in lsh_secs],
+        "lsh_docs_per_sec": int(LSH_ROWS / lsh_t),
+        "lsh_n_pairs": int(n_pairs),
     }
 
 
@@ -273,6 +335,7 @@ def orchestrate(reps: int) -> None:
     for cores, runs in per_level.items():
         best_tok = min(runs, key=lambda r: r["token_sketch_sec"])
         best_seq = min(runs, key=lambda r: r["seq_sketch_sec"])
+        best_lsh = min(runs, key=lambda r: r["lsh_sec"])
         merged = dict(best_tok)
         merged["token_sketch_all_secs"] = [
             r["token_sketch_sec"] for r in runs
@@ -280,8 +343,16 @@ def orchestrate(reps: int) -> None:
         merged["seq_sketch_sec"] = best_seq["seq_sketch_sec"]
         merged["seq_rows_per_sec"] = best_seq["seq_rows_per_sec"]
         merged["seq_sketch_all_secs"] = [r["seq_sketch_sec"] for r in runs]
+        merged["lsh_sec"] = best_lsh["lsh_sec"]
+        merged["lsh_docs_per_sec"] = best_lsh["lsh_docs_per_sec"]
+        merged["lsh_all_secs"] = [r["lsh_sec"] for r in runs]
+        merged["lsh_n_pairs"] = best_lsh["lsh_n_pairs"]
         results[cores] = merged
         print(json.dumps(results[cores]), file=sys.stderr)
+    # W2 determinism invariant: the candidate-pair count must be
+    # IDENTICAL at every parallelism level (F5 generator contract)
+    pair_counts = {r["lsh_n_pairs"] for runs in per_level.values() for r in runs}
+    assert len(pair_counts) == 1, f"LSH pair count varies: {pair_counts}"
 
     acc = accuracy_check()
     print(json.dumps({"accuracy": acc}), file=sys.stderr)
@@ -290,12 +361,17 @@ def orchestrate(reps: int) -> None:
     r8, r32 = results[8], results[32]
     eff_tok_14 = (r4["tokens_per_sec"] / r1["tokens_per_sec"]) / 4
     eff_seq_14 = (r4["seq_rows_per_sec"] / r1["seq_rows_per_sec"]) / 4
+    eff_lsh_14 = (r4["lsh_docs_per_sec"] / r1["lsh_docs_per_sec"]) / 4
     eff_tok = (r8["tokens_per_sec"] / r2["tokens_per_sec"]) / 4
     eff_seq = (r8["seq_rows_per_sec"] / r2["seq_rows_per_sec"]) / 4
+    eff_lsh_28 = (r8["lsh_docs_per_sec"] / r2["lsh_docs_per_sec"]) / 4
     eff_tok_32 = (r32["tokens_per_sec"] / r8["tokens_per_sec"]) / 4
+    eff_lsh_32 = (r32["lsh_docs_per_sec"] / r8["lsh_docs_per_sec"]) / 4
     summary = {
         "n_rows": r8["rows"],
         "n_tokens": r8["tokens"],
+        "lsh_docs": LSH_ROWS,
+        "lsh_params": LSH_PARAMS,
         "local1": r1,
         "local2": r2,
         "local4": r4,
@@ -303,49 +379,63 @@ def orchestrate(reps: int) -> None:
         "local32": r32,
         "scaling_efficiency_tokens_N1_to_4N4": round(eff_tok_14, 3),
         "scaling_efficiency_sequences_N1_to_4N4": round(eff_seq_14, 3),
+        "scaling_efficiency_lsh_N1_to_4N4": round(eff_lsh_14, 3),
         "scaling_efficiency_tokens_N2_to_4N8": round(eff_tok, 3),
         "scaling_efficiency_sequences_N2_to_4N8": round(eff_seq, 3),
+        "scaling_efficiency_lsh_N2_to_4N8": round(eff_lsh_28, 3),
         "scaling_efficiency_tokens_N8_to_4N32": round(eff_tok_32, 3),
+        "scaling_efficiency_lsh_N8_to_4N32": round(eff_lsh_32, 3),
         "gate": ">=0.8",
-        "pass": bool(eff_tok_14 >= 0.8),
+        "pass": bool(eff_tok_14 >= 0.8 and eff_lsh_14 >= 0.8),
         "accuracy": acc,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
+    gate_ok = eff_tok_14 >= 0.8 and eff_lsh_14 >= 0.8
     md = f"""# BENCH/BASELINE.md — measured numbers (this sandbox)
 
 ## Scaling evidence (north rule: N -> 4N efficiency >= 0.8)
 
 No multi-node cluster exists in this sandbox; per driver instruction the
 two-cluster-size criterion is evidenced with two parallelism levels of
-the identical job on identical deterministic input ({r8['rows']:,}
-sequences / {r8['tokens']:,} tokens, FIXTURES.md F1 generator, seed 42).
+identical jobs on identical deterministic input.  TWO workloads cover
+both plan shapes (protocol: BASELINE.md section 3):
+
+- **W1 token-sketch (map-heavy)**: per-token t-digest by source (Arrow
+  list flatten, bincount fast path) and per-sequence n_tok t-digest by
+  source; two-phase salted aggregation, compression 100.  Input:
+  {r8['rows']:,} sequences / {r8['tokens']:,} tokens (FIXTURES.md F1,
+  seed 42).
+- **W2 minhash-LSH (shuffle-heavy)**: end-to-end near-dup candidate
+  pairs — signatures (mapInArrow) -> banded equijoin (ids-only) ->
+  distinct pairs -> signature join-back + agreement estimate.  Input:
+  {LSH_ROWS:,} docs (FIXTURES.md F5, seed 42), n_hashes=64, bands=16;
+  pair count {r8['lsh_n_pairs']:,} is IDENTICAL at every level
+  (asserted determinism invariant).
+
 Min of {reps} INTERLEAVED rounds (round-robin 1/2/4/8/32 with
-cooldowns, one timed rep per child; all reps recorded in
-scaling_results.json).  The sandbox host throttles under sustained load
-with rep-time swings up to 8x inside one phase, so sequential per-level
-phases would compare different throttle states; interleaving exposes
-every level to the same trajectory and the per-level min is the
-comparable unthrottled estimator.  Session startup and page-cache warm
-excluded.
+cooldowns, one timed rep per child, each child taskset-pinned to exactly
+N cores; all reps recorded in scaling_results.json).  The sandbox host
+throttles under sustained load with rep-time swings up to 8x inside one
+phase, so sequential per-level phases would compare different throttle
+states; interleaving exposes every level to the same trajectory and the
+per-level min is the comparable unthrottled estimator.  Session startup
+and page-cache warm excluded.
 
-Job: per-token t-digest by source (Arrow list flatten, bincount fast
-path) and per-sequence n_tok t-digest by source; two-phase salted
-aggregation, compression 100.
+| run | master | token-sketch sec | tokens/sec | n_tok rows/sec | lsh sec | lsh docs/sec |
+|---|---|---|---|---|---|---|
+| A | local[1]  | {r1['token_sketch_sec']} | {r1['tokens_per_sec']:,} | {r1['seq_rows_per_sec']:,} | {r1['lsh_sec']} | {r1['lsh_docs_per_sec']:,} |
+| B | local[2]  | {r2['token_sketch_sec']} | {r2['tokens_per_sec']:,} | {r2['seq_rows_per_sec']:,} | {r2['lsh_sec']} | {r2['lsh_docs_per_sec']:,} |
+| C | local[4]  | {r4['token_sketch_sec']} | {r4['tokens_per_sec']:,} | {r4['seq_rows_per_sec']:,} | {r4['lsh_sec']} | {r4['lsh_docs_per_sec']:,} |
+| D | local[8]  | {r8['token_sketch_sec']} | {r8['tokens_per_sec']:,} | {r8['seq_rows_per_sec']:,} | {r8['lsh_sec']} | {r8['lsh_docs_per_sec']:,} |
+| E | local[32] | {r32['token_sketch_sec']} | {r32['tokens_per_sec']:,} | {r32['seq_rows_per_sec']:,} | {r32['lsh_sec']} | {r32['lsh_docs_per_sec']:,} |
 
-| run | master | token-sketch sec | tokens/sec | n_tok rows/sec |
-|---|---|---|---|---|
-| A | local[1]  | {r1['token_sketch_sec']} | {r1['tokens_per_sec']:,} | {r1['seq_rows_per_sec']:,} |
-| B | local[2]  | {r2['token_sketch_sec']} | {r2['tokens_per_sec']:,} | {r2['seq_rows_per_sec']:,} |
-| C | local[4]  | {r4['token_sketch_sec']} | {r4['tokens_per_sec']:,} | {r4['seq_rows_per_sec']:,} |
-| D | local[8]  | {r8['token_sketch_sec']} | {r8['tokens_per_sec']:,} | {r8['seq_rows_per_sec']:,} |
-| E | local[32] | {r32['token_sketch_sec']} | {r32['tokens_per_sec']:,} | {r32['seq_rows_per_sec']:,} |
-
-**Primary N -> 4N evidence (local[1] -> local[4]): (R4/R1)/4 =
-{eff_tok_14:.3f} tokens/sec efficiency, {eff_seq_14:.3f} sequences/sec
-efficiency** (gate >= 0.8: {"PASS" if eff_tok_14 >= 0.8 else "FAIL"}).
+**Primary N -> 4N evidence (local[1] -> local[4]): W1 =
+{eff_tok_14:.3f} tokens/sec efficiency ({eff_seq_14:.3f} sequences/sec),
+W2 = {eff_lsh_14:.3f} docs/sec efficiency** (gate >= 0.8 on both:
+{"PASS" if gate_ok else "FAIL"}).
 The 1 -> 4 pair is the faithful single-box proxy for adding executor
 NODES: neither level approaches the shared-memory-bus ceiling, so the
 ratio isolates the framework's scaling behavior (scheduler, shuffle,
@@ -353,8 +443,9 @@ merge tree) — exactly what changes with cluster size — rather than one
 box's bus.
 
 Transparency ladder (same interleaved trajectory): local[2] ->
-local[8] tokens {eff_tok:.3f} / sequences {eff_seq:.3f}; local[8] ->
-local[32] tokens {eff_tok_32:.3f}.  The per-TOKEN job streams ~8 GB of
+local[8] tokens {eff_tok:.3f} / sequences {eff_seq:.3f} / lsh
+{eff_lsh_28:.3f}; local[8] -> local[32] tokens {eff_tok_32:.3f} / lsh
+{eff_lsh_32:.3f}.  The per-TOKEN job streams ~8 GB of
 token values per pass through one memory bus, so its curve flattens as
 thread count grows — at 32 threads it is fully bus-bound (and the
 per-sequence job, which reads 1/512th the bytes per row, still scales:

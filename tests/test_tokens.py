@@ -97,3 +97,51 @@ def test_n_tok_sketch_by_source(spark):
         assert d.count == s["n"]
         assert d.quantile(0.0) == s["mn"]
         assert d.quantile(1.0) == s["mx"]
+
+
+# ---------------------------------------------------------------- F5 docs
+
+
+def test_docs_block_determinism_and_dup_structure():
+    from go_tdigest_spark.operators.dedup import py_words
+    from go_tdigest_spark.sources.docs import generate_docs_block
+
+    a = generate_docs_block(2)
+    assert a.equals(generate_docs_block(2))
+    assert not a.equals(generate_docs_block(5))
+    texts = a.column(1).to_pylist()
+    # odd rows are near-dups of the preceding even row: same length,
+    # word overlap >= 1 - 2*DUP_MUTATE_FRAC (mutated slots may also
+    # collide back, so >=)
+    for i in (1, 101, 2001):
+        w_even, w_odd = py_words(texts[i - 1]), py_words(texts[i])
+        assert len(w_even) == len(w_odd)
+        same = sum(x == y for x, y in zip(w_even, w_odd))
+        assert same >= len(w_even) * 0.88
+        assert same < len(w_even)  # mutation genuinely fired
+    # consecutive even rows are unrelated
+    w0, w2 = py_words(texts[0]), py_words(texts[2])
+    assert sum(x == y for x, y in zip(w0, w2)) < min(len(w0), len(w2)) * 0.5
+
+
+def test_docs_partitioning_independence_and_lsh_invariant(spark):
+    from go_tdigest_spark.operators import minhash_lsh_pairs
+    from go_tdigest_spark.operators.dedup import release_dedup_caches
+    from go_tdigest_spark.sources.docs import docs_df
+
+    counts = []
+    for parts in (2, 7):
+        docs = docs_df(spark, 9_000, partitions=parts)
+        # content identical regardless of partitioning
+        h = docs.selectExpr(
+            "bit_xor(xxhash64(doc, text)) AS h", "count(*) AS n"
+        ).collect()[0]
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc", n=5, n_hashes=32, bands=8, threshold=0.5
+        )
+        counts.append((h["h"], h["n"], pairs.count()))
+        release_dedup_caches()
+    assert counts[0] == counts[1]
+    # the known duplicate structure surfaces: at least 80% of the 4500
+    # planted near-dup pairs are candidate pairs at threshold 0.5
+    assert counts[0][2] >= 0.8 * 4_500
