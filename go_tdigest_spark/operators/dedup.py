@@ -553,6 +553,30 @@ def banded_stack(df: DataFrame, keep: list[str], key_exprs: list[str]) -> DataFr
     )
 
 
+def banded_stack_multi(
+    df: DataFrame, keep: list[str], key_tuples: list[list[str]]
+) -> DataFrame:
+    """``banded_stack`` for COMPOSITE band keys: each band contributes a
+    tuple of expressions, emitted as native columns ``k0..k{w-1}``
+    instead of one concatenated string.  The banded exchange then
+    shuffles and sorts fixed-width primitives — on wide-signature
+    MinHash the string form (comma-joined int64s, 40-80 chars) was the
+    dominant sort cost of the candidate join and scaled at ~0.5
+    efficiency 1 -> 4 cores where the primitive form scales like the
+    rest of the job.  Bucket semantics are IDENTICAL (comma-separated
+    decimal int64s are an injective encoding of the tuple), so results
+    match the single-key form and the concat-based SQL twin exactly."""
+    width = len(key_tuples[0])
+    assert all(len(t) == width for t in key_tuples)
+    kcols = ", ".join(f"k{j}" for j in range(width))
+    parts = ", ".join(
+        f"{i}, " + ", ".join(t) for i, t in enumerate(key_tuples)
+    )
+    return df.selectExpr(
+        *keep, f"stack({len(key_tuples)}, {parts}) AS (band, {kcols})"
+    )
+
+
 def cap_lsh_buckets(
     banded: DataFrame, keys: list[str], max_bucket_size: int | None
 ) -> DataFrame:
@@ -654,16 +678,27 @@ def lsh_pairs_from_sigs(
     )
     # narrow banded rows: band keys are computed FROM sig, but sig
     # itself stays out of the exchange (ids-only; see the plan note
-    # below)
-    banded = banded_stack(
+    # below).  Keys are native int64 columns k0..k{rows-1}, not a
+    # concatenated string — identical buckets, primitive-width shuffle
+    # and sort (see banded_stack_multi)
+    banded = banded_stack_multi(
         sigs,
         ["doc"],
         [
-            f"concat_ws(',', slice(sig, {i * rows + 1}, {rows}))"
+            [f"sig[{i * rows + j}]" for j in range(rows)]
             for i in range(bands)
         ],
     )
-    banded = cap_lsh_buckets(banded, ["band", "key"], max_bucket_size)
+    kcols = [f"k{j}" for j in range(rows)]
+    banded = cap_lsh_buckets(banded, ["band"] + kcols, max_bucket_size)
+    # persist the narrow banded table: the self-join otherwise evaluates
+    # the cache-scan + stack + exchange-write lineage on BOTH sides
+    # (observed: exchange reuse does not fire across the aliased sides
+    # under AQE), and these rows are bands x docs — the job's largest
+    # intermediate.  Same posture as simhash_candidate_pairs'
+    # persist_bands.  Registered for release_dedup_caches.
+    if persist_sigs:
+        banded = _register_persisted(banded.persist())
     a, b = banded.alias("a"), banded.alias("b")
     # IDS-ONLY through the banded self-join: a doc's full signature
     # array must NOT ride the per-band exchange — that ships bands
@@ -675,13 +710,11 @@ def lsh_pairs_from_sigs(
     # VERDICT r2 "What's wrong" #3) — and the signatures join back from
     # the persisted narrow table ONCE per unique pair, where the
     # agreement estimate is computed a single time.
+    key_eq = F.col("a.band") == F.col("b.band")
+    for k in kcols:
+        key_eq = key_eq & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
+        a.join(b, key_eq & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
