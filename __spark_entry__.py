@@ -921,10 +921,33 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both LSH dedup shapes, tagged by variant: 'self' is the corpus
+    self-join; 'vs_index' is the INCREMENTAL shape — the odd-id half of
+    the corpus arrives as a new shard and is banded against the even-id
+    half's standing signature index (lsh_pairs_vs_index), never
+    self-joined.  The incremental pair set must be exactly the
+    cross-parity subset the oracle computes from the same split."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
+    self_pairs = dedup.minhash_lsh_pairs(
         docs, "text", "doc_id", n=2, n_hashes=16, bands=4, threshold=0.3
+    ).select(
+        F.lit("self").alias("variant"), "doc_a", "doc_b", "est_jaccard"
     )
+    shard = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    inc = dedup.lsh_pairs_vs_index(
+        dedup.minhash_signatures(shard, "text", "doc_id", n=2, n_hashes=16),
+        dedup.minhash_signatures(corpus, "text", "doc_id", n=2, n_hashes=16),
+        n_hashes=16,
+        bands=4,
+        threshold=0.3,
+    ).select(
+        F.lit("vs_index").alias("variant"),
+        F.col("doc_new").alias("doc_a"),
+        F.col("doc_idx").alias("doc_b"),
+        "est_jaccard",
+    )
+    return self_pairs.unionByName(inc)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1513,7 +1536,52 @@ def _q_sample_suite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n", "chars", "min_doc", "max_doc",
         )
     )
-    return fr.unionByName(sp).unionByName(mx).unionByName(wt)
+    # round-5 arm: deterministic global shuffle ("shuffle the epoch") —
+    # per-source composition, char totals, and id extremes of the FIRST
+    # 100 positions of the permutation pin the permutation's head
+    # exactly against the window-form SQL twin; the Spark side runs the
+    # two-phase distributed prefix sum (no global window)
+    sh = (
+        sample.deterministic_shuffle(docs, "doc_id", seed=23)
+        .where(F.col("pos") < 100)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.lit("shuffle").alias("variant"),
+            F.lit("").alias("split"),
+            "source", "n", "chars", "min_doc", "max_doc",
+        )
+    )
+    # round-5 arm: token-budget sampling — the EXACT maximal whole-doc
+    # prefix of the seed-29 shuffle order whose n_chars total fits
+    # 120k; the twin's running-sum window pins membership exactly
+    bu = (
+        sample.sample_token_budget(docs, "doc_id", "n_chars", 120_000, seed=29)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.lit("budget").alias("variant"),
+            F.lit("").alias("split"),
+            "source", "n", "chars", "min_doc", "max_doc",
+        )
+    )
+    return (
+        fr.unionByName(sp)
+        .unionByName(mx)
+        .unionByName(wt)
+        .unionByName(sh)
+        .unionByName(bu)
+    )
 
 
 def _q_sample_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2009,6 +2077,23 @@ def oracle_sql() -> dict[str, str]:
                 '(SELECT *, n_chars + 1 AS _wt FROM documents)',
                 'doc_id', '_wt', 8, seed=17, by=['source'])})
             GROUP BY source
+            UNION ALL
+            SELECT 'shuffle' AS variant, '' AS split, source,
+                   count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM ({sample.deterministic_shuffle_sql(
+                'documents', 'doc_id', seed=23)})
+            WHERE pos < 100
+            GROUP BY source
+            UNION ALL
+            SELECT 'budget' AS variant, '' AS split, source,
+                   count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM ({sample.sample_token_budget_sql(
+                'documents', 'doc_id', 'n_chars', 120_000, seed=29)})
+            GROUP BY source
         """,
         "pack_docs": f"""
             SELECT doc_id, source, n_chars,
@@ -2201,10 +2286,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": dedup.minhash_signature_sql(
             "documents", "text", "doc_id", n=2, n_hashes=16, as_string=True
         ),
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(
-            "documents", "text", "doc_id", n=2, n_hashes=16, bands=4,
-            threshold=0.3,
-        ),
+        "dedup_minhash_lsh": f"""
+            SELECT 'self' AS variant, doc_a, doc_b, est_jaccard
+            FROM ({dedup.minhash_lsh_pairs_sql(
+                'documents', 'text', 'doc_id', n=2, n_hashes=16, bands=4,
+                threshold=0.3)})
+            UNION ALL
+            SELECT 'vs_index' AS variant, doc_new AS doc_a,
+                   doc_idx AS doc_b, est_jaccard
+            FROM ({dedup.lsh_pairs_vs_index_sql(
+                '(SELECT * FROM documents WHERE doc_id % 2 = 1)',
+                '(SELECT * FROM documents WHERE doc_id % 2 = 0)',
+                'text', 'doc_id', n=2, n_hashes=16, bands=4,
+                threshold=0.3)})
+        """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    round(list_cosine_similarity(

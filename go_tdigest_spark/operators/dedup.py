@@ -797,6 +797,175 @@ def minhash_lsh_pairs_sql(
     """
 
 
+def lsh_pairs_vs_index(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Incremental dedup: LSH candidate pairs BETWEEN a new shard's
+    ``(doc, sig)`` signatures and an existing corpus signature index,
+    never within either side.  Returns ``(doc_new, doc_idx,
+    est_jaccard)``.
+
+    This is the shape an ingest pipeline actually runs at corpus scale:
+    the standing corpus keeps its signature table persisted (parquet —
+    the output of :func:`minhash_signatures`, tiny relative to the text:
+    n_hashes int64s per doc), and each arriving shard is signed once and
+    banded against that index.  The corpus is never re-signed and —
+    critically — never re-SELF-joined: the work per shard is
+    O(shard bands + matching index buckets), not O(corpus²).  Dedup of
+    the shard against itself, when wanted, is the existing
+    :func:`lsh_pairs_from_sigs` over just the shard.
+
+    Same plan discipline as ``lsh_pairs_from_sigs`` (whose banded
+    exchange notes apply verbatim): ids-only banded rows on BOTH sides
+    (signatures must not ride the per-band exchange), primitive
+    ``k0..k{rows-1}`` band-key columns, candidates deduped as bare id
+    pairs, signatures joined back once per unique pair.
+    ``max_bucket_size`` caps buckets on the INDEX side only — that is
+    the corpus-sized relation where boilerplate bands explode; the
+    shard side is assumed small relative to it (cap the shard first
+    yourself if it is not).  Both signature tables are width-validated
+    per row: a stored index banded with the wrong ``n_hashes`` would
+    otherwise degenerate silently (see lsh_pairs_from_sigs).
+
+    ``persist``: both sig tables and both banded tables are referenced
+    twice (band + sig join-back; banded join sides), so by default they
+    persist through the module registry — release with
+    :func:`release_dedup_caches` between shards in a long-lived loop.
+    """
+    rows = n_hashes // bands
+
+    def _checked(sigs: DataFrame, side: str) -> DataFrame:
+        return sigs.withColumn(
+            "sig",
+            F.when(
+                F.assert_true(
+                    F.size("sig") == F.lit(n_hashes),
+                    F.lit(
+                        f"{side} signature width != n_hashes={n_hashes}"
+                    ),
+                ).isNull(),
+                F.col("sig"),
+            ),
+        )
+
+    new_sigs = _checked(new_sigs, "shard")
+    index_sigs = _checked(index_sigs, "index")
+    if persist:
+        new_sigs = _register_persisted(new_sigs.persist())
+        index_sigs = _register_persisted(index_sigs.persist())
+    key_tuples = [
+        [f"sig[{i * rows + j}]" for j in range(rows)] for i in range(bands)
+    ]
+    kcols = [f"k{j}" for j in range(rows)]
+    banded_new = banded_stack_multi(new_sigs, ["doc"], key_tuples)
+    banded_idx = banded_stack_multi(index_sigs, ["doc"], key_tuples)
+    banded_idx = cap_lsh_buckets(
+        banded_idx, ["band"] + kcols, max_bucket_size
+    )
+    if persist:
+        banded_new = _register_persisted(banded_new.persist())
+        banded_idx = _register_persisted(banded_idx.persist())
+    a, b = banded_new.alias("a"), banded_idx.alias("b")
+    key_eq = F.col("a.band") == F.col("b.band")
+    for k in kcols:
+        key_eq = key_eq & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    # no a.doc < b.doc guard: the sides are DIFFERENT corpora (a shard
+    # doc and an index doc may share an id value; orientation, not
+    # ordering, distinguishes them)
+    cand = (
+        a.join(b, key_eq)
+        .select(
+            F.col("a.doc").alias("doc_new"), F.col("b.doc").alias("doc_idx")
+        )
+        .distinct()
+    )
+    if n_hashes <= 64:
+        agree = sum(
+            F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+            for i in range(n_hashes)
+        )
+    else:
+        agree = F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y
+                ),
+                lambda v: v,
+            )
+        )
+    sig_a = new_sigs.select(
+        F.col("doc").alias("doc_new"), F.col("sig").alias("sig_a")
+    )
+    sig_b = index_sigs.select(
+        F.col("doc").alias("doc_idx"), F.col("sig").alias("sig_b")
+    )
+    return (
+        cand.join(sig_a, "doc_new")
+        .join(sig_b, "doc_idx")
+        .select(
+            "doc_new",
+            "doc_idx",
+            F.round(agree / F.lit(n_hashes), 4).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def lsh_pairs_vs_index_sql(
+    new_table: str,
+    index_table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of :func:`lsh_pairs_vs_index` with signatures derived
+    from the raw tables via ``minhash_signature_sql`` (the Spark side's
+    signature kernel is pinned to this SQL by the signatures oracle)."""
+    rows = n_hashes // bands
+    new_sql = minhash_signature_sql(
+        new_table, text_col, id_col, n, n_hashes, seed
+    )
+    idx_sql = minhash_signature_sql(
+        index_table, text_col, id_col, n, n_hashes, seed
+    )
+    band_keys = ", ".join(
+        "struct_pack(band := {i}, key := array_to_string(sig[{lo}:{hi}], ','))".format(
+            i=i, lo=i * rows + 1, hi=(i + 1) * rows
+        )
+        for i in range(bands)
+    )
+    return f"""
+        WITH new_sigs AS ({new_sql}),
+        idx_sigs AS ({idx_sql}),
+        banded_new AS (
+            SELECT doc, sig, unnest([{band_keys}]) AS bk FROM new_sigs
+        ), banded_idx AS (
+            SELECT doc, sig, unnest([{band_keys}]) AS bk FROM idx_sigs
+        ), cand AS (
+            SELECT DISTINCT a.doc AS doc_new, b.doc AS doc_idx,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM banded_new a JOIN banded_idx b
+              ON a.bk.band = b.bk.band AND a.bk.key = b.bk.key
+        )
+        SELECT doc_new, doc_idx,
+               round(len(list_filter(list_zip(sig_a, sig_b),
+                     z -> z[1] = z[2])) * 1.0 / {n_hashes}, 4) AS est_jaccard
+        FROM cand
+        WHERE round(len(list_filter(list_zip(sig_a, sig_b),
+                    z -> z[1] = z[2])) * 1.0 / {n_hashes}, 4) >= {threshold}
+    """
+
+
 # --------------------------------------------- LSH-verified jaccard dedup
 
 

@@ -667,3 +667,285 @@ def sample_topk_per_group_sql(
             FROM {table}
         ) WHERE _rn <= {k}
     """
+
+
+# --- deterministic global shuffle -------------------------------------
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 1,
+    pos_col: str = "pos",
+    num_partitions: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Reproducible pseudorandom GLOBAL ordering — "shuffle the training
+    data once per epoch": every row gets a 0-based position under a
+    permutation that is a pure function of ``(key, seed)``, independent
+    of input partitioning, parallelism, file layout, or prior order.
+    Different seeds give independent permutations of the same keys
+    (epoch 0, epoch 1, ...).
+
+    Order key: the family's seeded MINSTD-mixed content hash
+    (``_batch_key_hashes`` — the ONE stringify-then-hash contract all
+    sampling operators share), ties broken by the key itself so the
+    order is total whenever keys are unique.  Duplicate keys receive
+    distinct but arbitrarily-ordered consecutive positions; NULL keys
+    all hash alike (coalesced to '') and sort among themselves by the
+    engine's NULL placement — use unique non-NULL keys (the doc-id
+    contract) when cross-engine positional equality matters.
+
+    Scale shape (same two-phase distributed prefix sum as
+    ``pack_chunks(method='range')``): hash per Arrow batch (map-only) ->
+    ``repartitionByRange`` on (hash, key) + in-partition sort -> phase 1
+    collects one COUNT per partition (O(partitions) driver rows) ->
+    phase 2 assigns ``base[pid] + local_index`` map-only.  No global
+    single-partition window anywhere — a ``row_number() OVER (ORDER BY
+    ...)`` with no PARTITION BY, the naive form, serializes the whole
+    table through one task and is exactly what this operator exists to
+    avoid.  Positions are independent of where the sampled range
+    boundaries fall (position = rank in the total order), so the result
+    is deterministic even though ``repartitionByRange`` samples.
+
+    ``persist``: the range-partitioned table is consumed twice (count
+    pass + position pass); without it the range-sort runs twice AND
+    phase 2's layout could disagree with phase 1's boundaries.  Library
+    persist, released via ``release_dedup_caches`` (module registry) —
+    same posture as the dedup signature tables.
+
+    SQL twin: :func:`deterministic_shuffle_sql`.
+    """
+    _check_key_type(df, key_col, "deterministic_shuffle")
+    if pos_col in df.columns:
+        raise ValueError(
+            f"deterministic_shuffle: pos_col {pos_col!r} already in DataFrame"
+        )
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .dedup import _register_persisted
+
+    key_idx = df.columns.index(key_col)
+    hashed_schema = StructType(
+        list(df.schema.fields) + [StructField("_h", LongType(), False)]
+    )
+
+    def add_hash(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h = _batch_key_hashes(batch, key_idx, seed)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(h, type=pa.int64())],
+                names=list(batch.schema.names) + ["_h"],
+            )
+
+    nparts = (
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    parts = (
+        df.mapInArrow(add_hash, hashed_schema)
+        .repartitionByRange(nparts, F.col("_h"), F.col(key_col))
+        .sortWithinPartitions(F.asc("_h"), F.asc(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if persist:
+        parts = _register_persisted(parts.persist())
+    counts = (
+        parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    base: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        base[row["_pid"]] = acc
+        acc += int(row["_n"])
+
+    pid_idx = parts.columns.index("_pid")
+    out_schema = StructType(
+        list(parts.schema.fields) + [StructField(pos_col, LongType(), False)]
+    )
+
+    def add_pos(batches):
+        seen = 0
+        cur_base = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if cur_base is None:
+                cur_base = base.get(batch.column(pid_idx)[0].as_py(), 0)
+            pos = np.arange(seen, seen + batch.num_rows, dtype=np.int64)
+            pos += cur_base
+            seen += batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(pos, type=pa.int64())],
+                names=list(batch.schema.names) + [pos_col],
+            )
+
+    return parts.mapInArrow(add_pos, out_schema).drop("_h", "_pid")
+
+
+def deterministic_shuffle_sql(
+    table: str, key_col: str, seed: int = 1, pos_col: str = "pos"
+) -> str:
+    """Semantic (window-form) twin of :func:`deterministic_shuffle` —
+    the definition the scale path must equal exactly."""
+    h = sample_hash_frag(key_col, "duck", seed)
+    return f"""
+        SELECT *, row_number() OVER (
+                   ORDER BY ({h}) ASC, {key_col} ASC
+               ) - 1 AS {pos_col}
+        FROM {table}
+    """
+
+
+def sample_token_budget(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    seed: int = 1,
+    num_partitions: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Budget-filling sample: keep documents in deterministic-shuffle
+    order (:func:`deterministic_shuffle`'s permutation — a pure function
+    of ``(key, seed)``) until their cumulative ``size_col`` fills
+    ``budget``; a document that would overflow the budget is NOT kept
+    (whole-doc semantics — no partial documents).  This is the "take the
+    first 10B tokens of this epoch's permutation" job: reproducible
+    across runs/partitionings, and a different seed draws an independent
+    budget-full.
+
+    Scale shape: seeded hash per Arrow batch -> ``repartitionByRange``
+    on (hash, key) -> phase 1 collects one SUM(size) per partition
+    (O(partitions) driver rows) -> partitions whose base offset already
+    exceeds the budget are PRUNED (at 100 TB with a 1% budget, ~99% of
+    partitions never reach phase 2) -> phase 2 cumsums map-only.  Exact
+    int64 arithmetic end to end; never a global single-partition window.
+
+    SQL twin: :func:`sample_token_budget_sql` (the running-sum window
+    form — the semantic definition the scale path must equal exactly).
+    """
+    _check_key_type(df, key_col, "sample_token_budget")
+    if budget < 0:
+        raise ValueError("sample_token_budget: budget must be >= 0")
+    for c in ("_h", "_pid"):
+        if c in df.columns:
+            raise ValueError(
+                f"sample_token_budget: input column {c!r} is reserved"
+            )
+    if size_col not in df.columns:
+        raise ValueError(f"column {size_col!r} not in DataFrame")
+    size_dt = df.schema[size_col].dataType.simpleString()
+    if size_dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"sample_token_budget: size_col must be integral, got {size_dt}"
+        )
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .dedup import _register_persisted
+
+    key_idx = df.columns.index(key_col)
+    hashed_schema = StructType(
+        list(df.schema.fields) + [StructField("_h", LongType(), False)]
+    )
+
+    def add_hash(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h = _batch_key_hashes(batch, key_idx, seed)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(h, type=pa.int64())],
+                names=list(batch.schema.names) + ["_h"],
+            )
+
+    nparts = (
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    parts = (
+        df.mapInArrow(add_hash, hashed_schema)
+        .repartitionByRange(nparts, F.col("_h"), F.col(key_col))
+        .sortWithinPartitions(F.asc("_h"), F.asc(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if persist:
+        # consumed twice (totals + cumsum pass); recomputation could
+        # also re-sample range boundaries — same caveat as pack_chunks
+        parts = _register_persisted(parts.persist())
+    totals = (
+        parts.groupBy("_pid")
+        .agg(
+            F.sum(size_col).cast("long").alias("_tot"),
+            (F.count(F.lit(1)) - F.count(size_col)).alias("_nulls"),
+        )
+        .collect()
+    )
+    if any(row["_nulls"] > 0 for row in totals):
+        raise ValueError(
+            "sample_token_budget: size_col must not contain NULLs"
+        )
+    base: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        base[row["_pid"]] = acc
+        acc += int(row["_tot"])
+    # prune partitions that start at or past the budget: only the
+    # permutation's prefix reaches phase 2
+    live = [p for p, b in base.items() if b < budget]
+    parts = parts.where(F.col("_pid").isin(live) if live else F.lit(False))
+
+    size_idx = parts.columns.index(size_col)
+    pid_idx = parts.columns.index("_pid")
+
+    def take_budget(batches):
+        carry = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if carry is None:
+                carry = base.get(batch.column(pid_idx)[0].as_py(), 0)
+            if carry >= budget:
+                continue
+            sizes = batch.column(size_idx).to_numpy(zero_copy_only=False)
+            # an integral column with NULLs arrives as float64/NaN (the
+            # pack_chunks trap): corrupting the running sum silently is
+            # worse than failing, so fail
+            if sizes.dtype.kind == "f" and np.isnan(sizes).any():
+                raise ValueError(
+                    "sample_token_budget: size_col must not contain NULLs"
+                )
+            sizes = sizes.astype(np.int64)
+            if (sizes < 0).any():
+                raise ValueError(
+                    "sample_token_budget: size_col must be non-negative"
+                )
+            cum = carry + np.cumsum(sizes)
+            keep = cum <= budget
+            carry = int(cum[-1])
+            if keep.any():
+                yield batch.filter(pa.array(keep))
+
+    return parts.mapInArrow(take_budget, parts.schema).drop("_h", "_pid")
+
+
+def sample_token_budget_sql(
+    table: str, key_col: str, size_col: str, budget: int, seed: int = 1
+) -> str:
+    h = sample_hash_frag(key_col, "duck", seed)
+    return f"""
+        SELECT * EXCLUDE (_cum) FROM (
+            SELECT *, sum({size_col}) OVER (
+                       ORDER BY ({h}) ASC, {key_col} ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS _cum
+            FROM {table}
+        ) WHERE _cum <= {budget}
+    """

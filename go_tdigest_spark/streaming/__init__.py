@@ -1,6 +1,7 @@
 from .pipeline_stream import (
     minhash_signature_stream_writer,
     read_stream_lsh_pairs,
+    read_stream_lsh_pairs_since,
     streaming_exact_dedup,
     streaming_sample_fraction,
     streaming_sample_split,
@@ -23,6 +24,7 @@ __all__ = [
     "minhash_signature_stream_writer",
     "read_stream_digests",
     "read_stream_lsh_pairs",
+    "read_stream_lsh_pairs_since",
     "read_stream_sketches",
     "read_windowed_digests",
     "sketch_stream_writer",

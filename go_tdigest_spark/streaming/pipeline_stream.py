@@ -25,7 +25,10 @@ Three shapes, chosen per operator by what state the semantics need:
     ids+bands join is recomputed on read, which is the right trade
     because candidates across OLD x NEW documents are exactly what an
     incremental near-dup job must produce and a per-trigger join would
-    need the full history bucketed in executor state anyway.
+    need the full history bucketed in executor state anyway.  Readers
+    that track a batch high-water mark can skip even the old x old
+    re-join: ``read_stream_lsh_pairs_since`` returns only the pairs
+    introduced since a given batch (new-self ∪ new-vs-index).
 
 The mergeable-sketch streams (t-digest family) live in stream_agg.py /
 sketch_stream.py; this module is the document-pipeline side.
@@ -181,3 +184,75 @@ def read_stream_lsh_pairs(
         latest, n_hashes, bands, threshold, max_bucket_size,
         persist_sigs=False,
     )
+
+
+def read_stream_lsh_pairs_since(
+    spark: SparkSession,
+    state_path: str,
+    since_batch_id: int,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Only the candidate pairs INTRODUCED since ``since_batch_id`` —
+    the incremental consumption shape: a reader that processed the state
+    through batch B asks for pairs it has not seen, instead of
+    re-receiving (and the engine re-computing) the full old x old
+    self-join every trigger.
+
+    Semantics: with ``new`` = docs whose latest-wins signature landed in
+    a batch > ``since_batch_id`` and ``old`` = the rest,
+
+        pairs(all) = pairs(old self) ∪ pairs(new self) ∪ pairs(new x old)
+
+    and this reader returns the last two terms: exactly
+    ``read_stream_lsh_pairs(state)`` minus the pairs already derivable
+    from the old-only state (a re-ingested doc counts as NEW — its
+    signature may have changed, so its pairs must be re-emitted).  The
+    cross term runs :func:`~..operators.dedup.lsh_pairs_vs_index` — the
+    old corpus is banded but never self-joined, so per-trigger work is
+    O(new bands + matching old buckets), not O(state²).  Orientation:
+    new-self pairs are (doc_a < doc_b); cross pairs are (doc_a = new,
+    doc_b = old).
+
+    ``since_batch_id``: the ``batch_id`` high-water mark of the reader's
+    previous snapshot (-1 for "everything").  ``max_bucket_size`` caps
+    the OLD side's buckets (the state-sized relation), matching the
+    batch operator's contract.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import lsh_pairs_vs_index
+    from .stream_agg import read_committed_partials
+
+    sigs, _ = read_committed_partials(
+        spark, state_path, ["doc", "sig", "batch_id"], count_units=False
+    )
+    latest = sigs.groupBy("doc").agg(
+        F.max_by("sig", "batch_id").alias("sig"),
+        F.max("batch_id").alias("_last_batch"),
+    )
+    new = latest.where(F.col("_last_batch") > since_batch_id).select(
+        "doc", "sig"
+    )
+    old = latest.where(F.col("_last_batch") <= since_batch_id).select(
+        "doc", "sig"
+    )
+    # persist=False on both arms: fresh snapshot DataFrames per trigger
+    # (a persist here leaks one cached table per call — same reasoning
+    # as read_stream_lsh_pairs); the max_by groupBy ends in an Exchange
+    # that Spark's reuse machinery shares across the join sides.
+    self_new = lsh_pairs_from_sigs(
+        new, n_hashes, bands, threshold, max_bucket_size,
+        persist_sigs=False,
+    ).select("doc_a", "doc_b", "est_jaccard")
+    cross = lsh_pairs_vs_index(
+        new, old, n_hashes, bands, threshold, max_bucket_size,
+        persist=False,
+    ).select(
+        F.col("doc_new").alias("doc_a"),
+        F.col("doc_idx").alias("doc_b"),
+        "est_jaccard",
+    )
+    return self_new.unionByName(cross)

@@ -89,6 +89,92 @@ def test_minhash_lsh(spark, docs):
     assert (0, 5) not in got
 
 
+def test_lsh_pairs_vs_index(spark, docs):
+    """Incremental dedup: a new shard banded against the standing corpus
+    index finds exactly the CROSS-corpus near-dup pairs — equal to the
+    cross-restricted subset of the full self-join — and matches the
+    DuckDB twin row for row."""
+    from go_tdigest_spark.operators import (
+        lsh_pairs_vs_index,
+        lsh_pairs_vs_index_sql,
+        release_dedup_caches,
+    )
+
+    shard_ids = {1, 4, 7}
+    shard = docs.where(F.col("doc_id").isin(*shard_ids))
+    corpus = docs.where(~F.col("doc_id").isin(*shard_ids))
+    sig = lambda d: minhash_signatures(d, "text", "doc_id", n=2, n_hashes=16)
+
+    got = lsh_pairs_vs_index(
+        sig(shard), sig(corpus), n_hashes=16, bands=4, threshold=0.5
+    ).toPandas()
+    got_pairs = {(a, b) for a, b, _ in got.itertuples(index=False)}
+    # dups of index doc 0 surface; near-dup 4~3 surfaces; no shard-shard
+    # pair (1,7 are both shard-side identical twins) and no index-index
+    # pair can appear by construction
+    assert (1, 0) in got_pairs and (7, 0) in got_pairs
+    assert (4, 3) in got_pairs
+    assert all(a in shard_ids and b not in shard_ids for a, b in got_pairs)
+
+    # equivalence: the full self-join over shard ∪ corpus, restricted to
+    # cross-corpus pairs and re-oriented (doc_new, doc_idx), is the same
+    # set with the same estimates
+    full = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=2, n_hashes=16, bands=4, threshold=0.5
+    ).toPandas()
+    want = {}
+    for a, b, e in full.itertuples(index=False):
+        if (a in shard_ids) != (b in shard_ids):
+            new, idx = (a, b) if a in shard_ids else (b, a)
+            want[(new, idx)] = e
+    assert {(a, b): e for a, b, e in got.itertuples(index=False)} == want
+
+    # DuckDB twin parity on the raw tables
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = docs.toPandas()
+    con.register("new_t", pdf[pdf["doc_id"].isin(shard_ids)])
+    con.register("idx_t", pdf[~pdf["doc_id"].isin(shard_ids)])
+    oracle = {
+        (a, b): e
+        for a, b, e in con.execute(
+            lsh_pairs_vs_index_sql(
+                "new_t", "idx_t", "text", "doc_id",
+                n=2, n_hashes=16, bands=4, threshold=0.5,
+            )
+        ).fetchall()
+    }
+    assert {(a, b): e for a, b, e in got.itertuples(index=False)} == oracle
+
+    # index-side bucket cap: capping at 0 drops every bucket -> no pairs
+    assert (
+        lsh_pairs_vs_index(
+            sig(shard), sig(corpus), n_hashes=16, bands=4,
+            threshold=0.5, max_bucket_size=0,
+        ).count()
+        == 0
+    )
+
+    # empty shard -> empty result, schema intact
+    empty = lsh_pairs_vs_index(
+        sig(docs.where(F.lit(False))), sig(corpus), n_hashes=16, bands=4
+    )
+    assert empty.columns == ["doc_new", "doc_idx", "est_jaccard"]
+    assert empty.count() == 0
+
+    # width validation on the stored index (wrong n_hashes would
+    # otherwise degenerate silently — same contract as the self-join)
+    with pytest.raises(Exception, match="signature width"):
+        lsh_pairs_vs_index(
+            sig(shard),
+            minhash_signatures(corpus, "text", "doc_id", n=2, n_hashes=8),
+            n_hashes=16,
+            bands=4,
+        ).count()
+    release_dedup_caches()
+
+
 def test_simhash(spark, docs):
     sigs = simhash_signatures(docs, "text", "doc_id").toPandas()
     s = {r["doc"]: int(r["simhash"]) for _, r in sigs.iterrows()}
@@ -1524,6 +1610,57 @@ def test_streaming_minhash_lsh(spark, tmp_path, docs):
     # state table carries trigger lineage
     assert (
         spark.read.parquet(state).select("batch_id").distinct().count() == 2
+    )
+
+    # incremental reader: pairs introduced since a batch high-water mark
+    from go_tdigest_spark.streaming import read_stream_lsh_pairs_since
+
+    full = {
+        (a, b): e for a, b, e in got.itertuples(index=False)
+    }
+    # since=-1: everything is new -> identical to the full reader
+    since_all = read_stream_lsh_pairs_since(
+        spark, state, -1, n_hashes=16, threshold=0.5
+    ).toPandas()
+    assert {
+        (a, b): e for a, b, e in since_all.itertuples(index=False)
+    } == full
+    # since=0: docs of batch 1 (ids >= 4) are new; expected = full minus
+    # old-self pairs, cross pairs oriented (new, old)
+    new_ids = {4, 5, 6, 7}
+    want = {}
+    for (a, b), e in full.items():
+        if a in new_ids and b in new_ids:
+            want[(a, b)] = e
+        elif a in new_ids or b in new_ids:
+            n_, o_ = (a, b) if a in new_ids else (b, a)
+            want[(n_, o_)] = e
+    since_b0 = read_stream_lsh_pairs_since(
+        spark, state, 0, n_hashes=16, threshold=0.5
+    ).toPandas()
+    assert {
+        (a, b): e for a, b, e in since_b0.itertuples(index=False)
+    } == want
+    # disjoint-union identity: old-self pairs + since(0) == full reader
+    old_self = {
+        (a, b): e
+        for a, b, e in minhash_lsh_pairs(
+            docs.where("doc_id < 4"), "text", "doc_id", n=2, n_hashes=16
+        )
+        .toPandas()
+        .itertuples(index=False)
+    }
+    rejoined = dict(old_self)
+    for (a, b), e in want.items():
+        key = (a, b) if (a, b) in full else (b, a)
+        rejoined[key] = e
+    assert rejoined == full
+    # past the high-water mark: nothing new, nothing emitted
+    assert (
+        read_stream_lsh_pairs_since(
+            spark, state, 1, n_hashes=16, threshold=0.5
+        ).count()
+        == 0
     )
 
 

@@ -549,3 +549,171 @@ def test_weighted_sample_sql_rejects_bad_weights():
         con2.register("t", bad)
         with pytest.raises(Exception, match="finite and > 0"):
             con2.execute(q).fetchall()
+
+
+# --- deterministic global shuffle -------------------------------------
+
+
+def test_deterministic_shuffle_permutation_and_parity(spark):
+    """Positions are an exact permutation 0..n-1, invariant under input
+    partitioning and parallelism, equal to the window-form DuckDB twin,
+    and independent across seeds."""
+    import duckdb
+    import pandas as pd
+
+    from go_tdigest_spark.operators import (
+        deterministic_shuffle,
+        deterministic_shuffle_sql,
+        release_dedup_caches,
+    )
+
+    n = 3_000
+    pdf = pd.DataFrame(
+        {"k": [f"doc{i:05d}" for i in range(n)], "v": list(range(n))}
+    )
+    df = spark.createDataFrame(pdf)
+
+    got = deterministic_shuffle(df.repartition(7), "k", seed=5).toPandas()
+    assert sorted(got["pos"]) == list(range(n))  # exact permutation
+    by_key = dict(zip(got["k"], got["pos"]))
+    # not the identity / input order (astronomically unlikely if mixed)
+    assert list(got.sort_values("pos")["k"]) != sorted(pdf["k"])
+
+    # partitioning/parallelism invariance: 1 input partition + 3 range
+    # partitions, and 13 input partitions + 29 range partitions, give
+    # the identical permutation
+    alt1 = deterministic_shuffle(
+        df.coalesce(1), "k", seed=5, num_partitions=3
+    ).toPandas()
+    alt2 = deterministic_shuffle(
+        df.repartition(13), "k", seed=5, num_partitions=29
+    ).toPandas()
+    assert dict(zip(alt1["k"], alt1["pos"])) == by_key
+    assert dict(zip(alt2["k"], alt2["pos"])) == by_key
+
+    # DuckDB window-form twin: identical positions
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(
+        con.execute(
+            "SELECT k, pos FROM ("
+            + deterministic_shuffle_sql("t", "k", seed=5)
+            + ")"
+        ).fetchall()
+    )
+    assert by_key == want
+
+    # a different seed is a different (independent) permutation
+    other = deterministic_shuffle(df, "k", seed=6).toPandas()
+    assert dict(zip(other["k"], other["pos"])) != by_key
+    release_dedup_caches()
+
+
+def test_deterministic_shuffle_guards(spark):
+    import pandas as pd
+    import pytest
+
+    from go_tdigest_spark.operators import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b"], "pos": [1, 2]})
+    )
+    with pytest.raises(ValueError, match="pos_col"):
+        deterministic_shuffle(df, "k")
+    fdf = spark.createDataFrame(pd.DataFrame({"k": [1.5, 2.5]}))
+    with pytest.raises(TypeError, match="integral or string"):
+        deterministic_shuffle(fdf, "k")
+    # empty input -> empty output with the pos column appended
+    from pyspark.sql import functions as F
+
+    empty = deterministic_shuffle(
+        spark.createDataFrame(pd.DataFrame({"k": ["a"]})).where(F.lit(False)),
+        "k",
+    )
+    assert empty.columns == ["k", "pos"] and empty.count() == 0
+
+
+def test_sample_token_budget(spark):
+    """Budget semantics (prefix of the shuffle order, whole docs only),
+    DuckDB running-sum twin parity, partitioning invariance, pruning
+    path, and guards."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_tdigest_spark.operators import (
+        release_dedup_caches,
+        sample_token_budget,
+        sample_token_budget_sql,
+    )
+
+    n = 2_000
+    pdf = pd.DataFrame(
+        {
+            "k": [f"doc{i:05d}" for i in range(n)],
+            "sz": [(i * 13) % 97 + 1 for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    budget = 20_000
+
+    got = sample_token_budget(df.repartition(7), "k", "sz", budget, seed=9)
+    gpdf = got.toPandas()
+    kept = set(gpdf["k"])
+    total = int(gpdf["sz"].sum())
+    assert total <= budget
+    # maximal prefix: the NEXT doc in shuffle order would overflow —
+    # check via the twin's cumulative definition
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        r[0]
+        for r in con.execute(
+            sample_token_budget_sql("t", "k", "sz", budget, seed=9)
+        ).fetchall()
+    }
+    assert kept == want
+    assert 0 < len(kept) < n  # non-vacuous: budget is a strict subset
+
+    # invariance: different input partitioning + different range
+    # partition count select the identical set
+    alt = sample_token_budget(
+        df.coalesce(1), "k", "sz", budget, seed=9, num_partitions=29
+    )
+    assert {r["k"] for r in alt.collect()} == kept
+
+    # tiny budget exercises the partition-pruning path (every partition
+    # past the first is dropped before phase 2); budget smaller than the
+    # first doc -> empty
+    first_sz = int(
+        con.execute(
+            "SELECT sz FROM ("
+            + sample_token_budget_sql("t", "k", "sz", 10**9, seed=9)
+            + " LIMIT 1)"
+        ).fetchone()[0]
+    )
+    assert sample_token_budget(df, "k", "sz", first_sz - 1, seed=9).count() == 0
+    assert {
+        r["k"]
+        for r in sample_token_budget(df, "k", "sz", first_sz, seed=9).collect()
+    } == {
+        r[0]
+        for r in con.execute(
+            sample_token_budget_sql("t", "k", "sz", first_sz, seed=9)
+        ).fetchall()
+    }
+
+    # guards: negative budget, non-integral size, NULL sizes
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        sample_token_budget(df, "k", "sz", -1)
+    fdf = spark.createDataFrame(pd.DataFrame({"k": ["a"], "sz": [1.5]}))
+    with pytest.raises(TypeError, match="integral"):
+        sample_token_budget(fdf, "k", "sz", 10)
+    ndf = spark.createDataFrame(
+        [("a", 1), ("b", None)], "k string, sz long"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        sample_token_budget(ndf, "k", "sz", 10).count()
+    release_dedup_caches()
