@@ -1575,12 +1575,34 @@ def _q_sample_suite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n", "chars", "min_doc", "max_doc",
         )
     )
+    # round-5 arm: per-source dict budgets (the mixture-recipe token
+    # cap) — each listed source fills its own cap from its own shuffle
+    # order; unlisted sources are capped at 0 and must not appear
+    caps = {"src0": 5000, "src1": 2500, "src2": 1000, "src3": 500}
+    bg = (
+        sample.sample_token_budget(
+            docs, "doc_id", "n_chars", caps, seed=31, by=["source"]
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.lit("budget_by").alias("variant"),
+            F.lit("").alias("split"),
+            "source", "n", "chars", "min_doc", "max_doc",
+        )
+    )
     return (
         fr.unionByName(sp)
         .unionByName(mx)
         .unionByName(wt)
         .unionByName(sh)
         .unionByName(bu)
+        .unionByName(bg)
     )
 
 
@@ -2093,6 +2115,16 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM ({sample.sample_token_budget_sql(
                 'documents', 'doc_id', 'n_chars', 120_000, seed=29)})
+            GROUP BY source
+            UNION ALL
+            SELECT 'budget_by' AS variant, '' AS split, source,
+                   count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM ({sample.sample_token_budget_sql(
+                'documents', 'doc_id', 'n_chars',
+                {'src0': 5000, 'src1': 2500, 'src2': 1000, 'src3': 500},
+                seed=31, by=['source'])})
             GROUP BY source
         """,
         "pack_docs": f"""

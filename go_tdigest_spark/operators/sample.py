@@ -806,8 +806,9 @@ def sample_token_budget(
     df: DataFrame,
     key_col: str,
     size_col: str,
-    budget: int,
+    budget: int | dict,
     seed: int = 1,
+    by: list[str] | None = None,
     num_partitions: int | None = None,
     persist: bool = True,
 ) -> DataFrame:
@@ -820,18 +821,39 @@ def sample_token_budget(
     across runs/partitionings, and a different seed draws an independent
     budget-full.
 
+    ``by``: fill an independent budget PER GROUP (the per-source token
+    cap every mixture recipe needs); each group consumes its own shuffle
+    order.  ``budget`` may then be a dict keyed by the single ``by``
+    column's value (groups absent from the dict keep NOTHING — an
+    unlisted source is capped at 0, loudly visible rather than silently
+    unbounded); a scalar applies the same cap to every group.  Dict
+    budgets require ``len(by) == 1``.
+
     Scale shape: seeded hash per Arrow batch -> ``repartitionByRange``
-    on (hash, key) -> phase 1 collects one SUM(size) per partition
-    (O(partitions) driver rows) -> partitions whose base offset already
-    exceeds the budget are PRUNED (at 100 TB with a 1% budget, ~99% of
-    partitions never reach phase 2) -> phase 2 cumsums map-only.  Exact
-    int64 arithmetic end to end; never a global single-partition window.
+    on (by..., hash, key) -> phase 1 collects one SUM(size) per
+    (partition, group) (O(partitions + groups) driver rows) ->
+    partitions where every group's base offset already exceeds its
+    budget are PRUNED (at 100 TB with a 1% budget, ~99% of partitions
+    never reach phase 2) -> phase 2 cumsums map-only over contiguous
+    group segments.  Exact int64 arithmetic end to end; never a global
+    single-partition window.
 
     SQL twin: :func:`sample_token_budget_sql` (the running-sum window
     form — the semantic definition the scale path must equal exactly).
     """
+    by = list(by or [])
     _check_key_type(df, key_col, "sample_token_budget")
-    if budget < 0:
+    for c in by:
+        _check_key_type(df, c, "sample_token_budget")
+    if isinstance(budget, dict):
+        if len(by) != 1:
+            raise ValueError(
+                "sample_token_budget: dict budget requires exactly one "
+                "by column (keys are that column's values)"
+            )
+        if any(v < 0 for v in budget.values()):
+            raise ValueError("sample_token_budget: budgets must be >= 0")
+    elif budget < 0:
         raise ValueError("sample_token_budget: budget must be >= 0")
     for c in ("_h", "_pid"):
         if c in df.columns:
@@ -845,6 +867,12 @@ def sample_token_budget(
         raise TypeError(
             f"sample_token_budget: size_col must be integral, got {size_dt}"
         )
+
+    def budget_of(g: tuple) -> int:
+        if isinstance(budget, dict):
+            return int(budget.get(g[0], 0))
+        return int(budget)
+
     import pyarrow as pa
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -870,10 +898,11 @@ def sample_token_budget(
         num_partitions
         or df.sparkSession.sparkContext.defaultParallelism
     )
+    sort_cols = [*by, "_h", key_col]
     parts = (
         df.mapInArrow(add_hash, hashed_schema)
-        .repartitionByRange(nparts, F.col("_h"), F.col(key_col))
-        .sortWithinPartitions(F.asc("_h"), F.asc(key_col))
+        .repartitionByRange(nparts, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*[F.asc(c) for c in sort_cols])
         .withColumn("_pid", F.spark_partition_id())
     )
     if persist:
@@ -881,7 +910,7 @@ def sample_token_budget(
         # also re-sample range boundaries — same caveat as pack_chunks
         parts = _register_persisted(parts.persist())
     totals = (
-        parts.groupBy("_pid")
+        parts.groupBy("_pid", *by)
         .agg(
             F.sum(size_col).cast("long").alias("_tot"),
             (F.count(F.lit(1)) - F.count(size_col)).alias("_nulls"),
@@ -892,28 +921,38 @@ def sample_token_budget(
         raise ValueError(
             "sample_token_budget: size_col must not contain NULLs"
         )
-    base: dict[int, int] = {}
-    acc = 0
-    for row in sorted(totals, key=lambda r: r["_pid"]):
-        base[row["_pid"]] = acc
-        acc += int(row["_tot"])
-    # prune partitions that start at or past the budget: only the
-    # permutation's prefix reaches phase 2
-    live = [p for p, b in base.items() if b < budget]
+    # per-group base offsets: groups are contiguous across pid order
+    # (range partitioning leads with the group columns), so the
+    # cumulative-by-(group, pid) walk mirrors pack_chunks' range path
+    base: dict[tuple, int] = {}
+    acc: dict[tuple, int] = {}
+    for row in sorted(
+        totals, key=lambda r: (tuple(str(r[c]) for c in by), r["_pid"])
+    ):
+        g = tuple(row[c] for c in by)
+        base[(row["_pid"], *g)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + int(row["_tot"])
+    # prune partitions where EVERY group present already starts at or
+    # past its budget: only each group's prefix reaches phase 2
+    live_set = set()
+    for (pid, *g), b in base.items():
+        if b < budget_of(tuple(g)):
+            live_set.add(pid)
+    live = sorted(live_set)
     parts = parts.where(F.col("_pid").isin(live) if live else F.lit(False))
 
     size_idx = parts.columns.index(size_col)
     pid_idx = parts.columns.index("_pid")
+    by_idx = [parts.columns.index(c) for c in by]
 
     def take_budget(batches):
-        carry = None
+        carry: dict[tuple, int] = {}
+        pid = None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            if carry is None:
-                carry = base.get(batch.column(pid_idx)[0].as_py(), 0)
-            if carry >= budget:
-                continue
+            if pid is None:
+                pid = batch.column(pid_idx)[0].as_py()
             sizes = batch.column(size_idx).to_numpy(zero_copy_only=False)
             # an integral column with NULLs arrives as float64/NaN (the
             # pack_chunks trap): corrupting the running sum silently is
@@ -927,9 +966,35 @@ def sample_token_budget(
                 raise ValueError(
                     "sample_token_budget: size_col must be non-negative"
                 )
-            cum = carry + np.cumsum(sizes)
-            keep = cum <= budget
-            carry = int(cum[-1])
+            if by_idx:
+                cols = [
+                    batch.column(i).to_numpy(zero_copy_only=False)
+                    for i in by_idx
+                ]
+                for c in cols:
+                    # float arrival of an integral group column means
+                    # NULLs: NaN != NaN would fragment segments — fail
+                    if c.dtype.kind == "f":
+                        raise ValueError(
+                            "sample_token_budget: group columns must "
+                            "not contain NULLs"
+                        )
+                change = np.zeros(len(sizes), dtype=bool)
+                for c in cols:
+                    change[1:] |= c[1:] != c[:-1]
+                bounds = np.flatnonzero(change)
+                starts_at = np.concatenate(([0], bounds, [len(sizes)]))
+            else:
+                cols = []
+                starts_at = np.array([0, len(sizes)])
+            prefix = np.concatenate(([0], np.cumsum(sizes[:-1])))
+            keep = np.zeros(len(sizes), dtype=bool)
+            for s, e in zip(starts_at[:-1], starts_at[1:]):
+                g = tuple(c[s] for c in cols) if by_idx else ()
+                seg_base = carry.get(g, base.get((pid, *g), 0))
+                cum = (prefix[s:e] - prefix[s] + seg_base) + sizes[s:e]
+                keep[s:e] = cum <= budget_of(g)
+                carry[g] = int(cum[-1])
             if keep.any():
                 yield batch.filter(pa.array(keep))
 
@@ -937,15 +1002,34 @@ def sample_token_budget(
 
 
 def sample_token_budget_sql(
-    table: str, key_col: str, size_col: str, budget: int, seed: int = 1
+    table: str,
+    key_col: str,
+    size_col: str,
+    budget: int | dict,
+    seed: int = 1,
+    by: list[str] | None = None,
 ) -> str:
+    by = list(by or [])
     h = sample_hash_frag(key_col, "duck", seed)
+    part = f"PARTITION BY {', '.join(by)} " if by else ""
+    if isinstance(budget, dict):
+        if len(by) != 1:
+            raise ValueError(
+                "sample_token_budget_sql: dict budget requires exactly "
+                "one by column"
+            )
+        whens = " ".join(
+            f"WHEN {_sql_lit(k)} THEN {int(v)}" for k, v in budget.items()
+        )
+        cap = f"CASE {by[0]} {whens} ELSE 0 END"
+    else:
+        cap = str(int(budget))
     return f"""
         SELECT * EXCLUDE (_cum) FROM (
             SELECT *, sum({size_col}) OVER (
-                       ORDER BY ({h}) ASC, {key_col} ASC
+                       {part}ORDER BY ({h}) ASC, {key_col} ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS _cum
             FROM {table}
-        ) WHERE _cum <= {budget}
+        ) WHERE _cum <= {cap}
     """

@@ -717,3 +717,64 @@ def test_sample_token_budget(spark):
     with pytest.raises(Exception, match="NULL"):
         sample_token_budget(ndf, "k", "sz", 10).count()
     release_dedup_caches()
+
+
+def test_sample_token_budget_grouped(spark):
+    """Per-group budgets: independent caps per source (scalar and dict),
+    exact vs the partitioned running-sum twin; unlisted groups keep
+    nothing; invariance under partitioning."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from go_tdigest_spark.operators import (
+        release_dedup_caches,
+        sample_token_budget,
+        sample_token_budget_sql,
+    )
+
+    n = 3_000
+    pdf = pd.DataFrame(
+        {
+            "k": [f"doc{i:05d}" for i in range(n)],
+            "g": [f"src{i % 4}" for i in range(n)],
+            "sz": [(i * 29) % 83 + 1 for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t", pdf)
+
+    # scalar cap per group
+    got = sample_token_budget(
+        df.repartition(5), "k", "sz", 6_000, seed=3, by=["g"]
+    ).toPandas()
+    want = con.execute(
+        sample_token_budget_sql("t", "k", "sz", 6_000, seed=3, by=["g"])
+    ).df()
+    assert set(zip(got["g"], got["k"])) == set(zip(want["g"], want["k"]))
+    per_g = got.groupby("g")["sz"].sum()
+    assert (per_g <= 6_000).all() and len(per_g) == 4
+
+    # dict caps: src3 unlisted -> capped at 0, kept set exact per source
+    caps = {"src0": 9_000, "src1": 4_000, "src2": 1_000}
+    got_d = sample_token_budget(
+        df.coalesce(1), "k", "sz", caps, seed=3, by=["g"], num_partitions=17
+    ).toPandas()
+    want_d = con.execute(
+        sample_token_budget_sql("t", "k", "sz", caps, seed=3, by=["g"])
+    ).df()
+    assert set(zip(got_d["g"], got_d["k"])) == set(
+        zip(want_d["g"], want_d["k"])
+    )
+    sums = got_d.groupby("g")["sz"].sum().to_dict()
+    assert "src3" not in sums
+    for g, cap in caps.items():
+        assert sums.get(g, 0) <= cap
+
+    # guards: dict budget without exactly one by column; negative cap
+    with pytest.raises(ValueError, match="exactly one"):
+        sample_token_budget(df, "k", "sz", caps)
+    with pytest.raises(ValueError, match=">= 0"):
+        sample_token_budget(df, "k", "sz", {"src0": -1}, by=["g"])
+    release_dedup_caches()
