@@ -64,6 +64,19 @@ from go_tdigest_spark.sources import table
 SF_TINY = "/root/testdata/sf0.001"
 
 
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist a small intermediate reused by several arms of ONE gate
+    query (O(groups) digest tables, filtered cohort projections) and
+    register it in the module release registry so long-lived sessions
+    can free it via release_dedup_caches() — ADVICE r5 item 4.  Without
+    the persist, each arm re-evaluates the shared subtree (exchange
+    reuse does not cover subtrees consumed through an eager collect or
+    a broadcast build)."""
+    from go_tdigest_spark.operators.dedup import _register_persisted
+
+    return _register_persisted(df.persist())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-returnflag price distribution sketch on sf0.001."""
     li = table(spark, SF_TINY, "lineitem")
@@ -95,7 +108,9 @@ def _q_td_mean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode) and (b) inside the POOLED value domain [min, max] (the
     pooled target digest's tails are exact singletons)."""
     docs = table(spark, sf_dir, "documents")
-    d = tdigest_agg(docs, "n_chars", by=["source"])
+    # persisted: feeds the output read, the normalize group map, and
+    # the pooled-target merge (both collected eagerly) — one build (r6)
+    d = _persist(tdigest_agg(docs, "n_chars", by=["source"]))
     nm = aggregate.tdigest_normalize(docs, "n_chars", by=["source"], digests=d)
     pool = docs.agg(
         F.min("n_chars").alias("_lo"), F.max("n_chars").alias("_hi")
@@ -151,7 +166,9 @@ def _q_td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests=.
     """
     li = table(spark, sf_dir, "lineitem")
-    d = tdigest_agg(li, "l_extendedprice", by=["l_returnflag"])
+    # the digest table feeds BOTH the estimate arm and the winsorize
+    # bounds — persist the O(groups) rows so the build runs once (r6)
+    d = _persist(tdigest_agg(li, "l_extendedprice", by=["l_returnflag"]))
     wz = aggregate.tdigest_winsorize(
         li.select("l_returnflag", "l_extendedprice"),
         "l_extendedprice",
@@ -195,11 +212,17 @@ def _q_td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         td_quantile("digest", 0.95).alias("_p95"),
         td_quantile("digest", 0.99).alias("_p99"),
     )
-    exact = li.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile(l_extendedprice, "
-            "array(0.485D, 0.515D, 0.935D, 0.965D, 0.975D, 1.0D))"
-        ).alias("_pb")
+    # exact-percentile companion through the Arrow sorted-run kernel
+    # (operators/exactq.py) — value-identical to Spark's percentile()
+    # aggregate at ~3x less wall time (the JVM aggregate buffers boxed
+    # doubles in an OpenHashMap; the kernel sorts packed float64)
+    from go_tdigest_spark.operators import exact_percentiles
+
+    exact = exact_percentiles(
+        li,
+        "l_extendedprice",
+        [0.485, 0.515, 0.935, 0.965, 0.975, 1.0],
+        by=["l_returnflag"],
     )
 
     def _within(c: str, lo: int, hi: int):
@@ -234,7 +257,9 @@ def _q_td_cdf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the <=-rank convention would be off by half the tie mass) at the
     same 0.015 rank-error budget, for EVERY row of the group."""
     ev = table(spark, sf_dir, "events")
-    d = tdigest_agg(ev, "value", by=["event_type"])
+    # persisted: the digest table feeds the estimate arm AND the
+    # tdigest_rank broadcast map (collected eagerly) — one build (r6)
+    d = _persist(tdigest_agg(ev, "value", by=["event_type"]))
     est = d.select(
         "event_type",
         td_count("digest").alias("n"),
@@ -1133,13 +1158,11 @@ def _q_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build, and the single exact-arm aggregation all read the cache.
     # The cohort filter keeps user_id IS NOT NULL so n_rows matches the
     # oracle's per-cohort row counts (sketch aggs drop NULLs anyway).
-    base = (
+    base = _persist(
         ev.where(
             F.col("event_type").isin("click", "purchase")
             & F.col("user_id").isNotNull()
-        )
-        .select("event_type", "user_id")
-        .persist()
+        ).select("event_type", "user_id")
     )
     # grouped builds: one partial pass per sketch family over the cache,
     # 2 result rows each — pivoted to columns with first(when(...))
@@ -2467,13 +2490,11 @@ def _p_hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = table(spark, sf_dir, "events")
-    base = (
+    base = _persist(
         ev.where(
             F.col("event_type").isin("click", "purchase")
             & F.col("user_id").isNotNull()
-        )
-        .select("event_type", "user_id")
-        .persist()
+        ).select("event_type", "user_id")
     )
     sk = hll_agg(base, ["user_id"], by=["event_type"])
     skw = sk.agg(

@@ -90,14 +90,6 @@ def tree_merge(
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_type
 
-        try:
-            n_shuffle = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        except (TypeError, ValueError):
-            # platforms that set a non-numeric value (e.g. "auto" under
-            # vendor AQE builds) — fall back to the cluster default
-            n_shuffle = df.sparkSession.sparkContext.defaultParallelism
         gkey = "_gkey"
         # Float/double group keys: normalize -0.0 to +0.0 BEFORE both
         # the exchange and the JSON rendering.  Spark's own groupBy
@@ -119,6 +111,14 @@ def tree_merge(
                         F.col(f.name) == 0.0, F.lit(0.0).cast(f.dataType)
                     ).otherwise(F.col(f.name)),
                 )
+        # No explicit partition count on the exchange: digest/sketch
+        # partials are O(groups x compression) bytes, so AQE coalesces
+        # the hash exchange to match the actual bytes (scale-adaptive —
+        # a fixed spark.sql.shuffle.partitions here scheduled one task
+        # per shuffle partition regardless of how few partial rows
+        # exist, and each task pays a python-worker round trip).
+        # Without AQE the exchange falls back to
+        # spark.sql.shuffle.partitions, exactly the previous behavior.
         # gkey is computed AFTER the exchange so the JSON rendering is
         # not serialized through the shuffle alongside the raw keys.
         # Default to_json truncates timestamps to MILLISECONDS (.SSS) —
@@ -126,9 +126,7 @@ def tree_merge(
         # for sub-millisecond-distinct timestamp keys (Spark timestamps
         # are exactly microsecond-precision, so 6 fractional digits are
         # lossless).
-        dist = df.repartition(
-            n_shuffle, *[F.col(c) for c in group_cols]
-        ).withColumn(
+        dist = df.repartition(*[F.col(c) for c in group_cols]).withColumn(
             gkey,
             F.to_json(
                 F.struct(*[F.col(c) for c in group_cols]),

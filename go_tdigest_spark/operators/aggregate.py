@@ -337,6 +337,87 @@ def tdigest_bucket(
     ).drop("_bounds")
 
 
+_KEY_JSON_OPTS = {
+    # micro-precision timestamps keep the rendering injective (Spark
+    # timestamps are exactly microsecond precision) — same contract as
+    # the tree-merge group encoding in _tree.py
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
+
+def _group_key_col(by: Sequence[str]):
+    """Injective JSON rendering of the group-key tuple (one small string
+    per row) — the join/lookup key the annotator kernels use instead of
+    carrying an O(compression)-byte digest blob on every fact row."""
+    if not by:
+        return F.lit("{}")
+    return F.to_json(F.struct(*[F.col(c) for c in by]), _KEY_JSON_OPTS)
+
+
+def _collect_digest_map(digests: DataFrame, by: Sequence[str]) -> dict:
+    """Collect an O(groups)-row digest table into ({json_key: bytes},
+    row_count).
+
+    This is the same driver-side footprint a broadcast join of the
+    digest table implies, but the per-ROW cost downstream is a string
+    key lookup, not an O(compression)-byte blob shipped through Arrow
+    per fact row (the pre-r6 plan moved ~1 KB x rows through the python
+    boundary and hashed every blob in the kernel — the dominant cost of
+    the rank/normalize annotators at any scale).
+    """
+    rows = digests.select(
+        _group_key_col(by).alias("_k"), F.col(DIGEST_COL).alias("_d")
+    ).collect()
+    mapping = {
+        r["_k"]: (None if r["_d"] is None else bytes(r["_d"])) for r in rows
+    }
+    return mapping, len(rows)
+
+
+def _make_lookup_udf(bc, mode: str, target_blob: bytes | None = None):
+    """pandas UDF (key string, value) -> double, decoding each DISTINCT
+    digest once per batch from the broadcast map.
+
+    mode='cdf'       -> CDF_group(x)
+    mode='quantile'  -> Quantile_group(x)
+    mode='normalize' -> Q_target(CDF_group(x)) fused in one pass
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from .. import serde
+
+    @pandas_udf(DoubleType())
+    def _f(k: pd.Series, x: pd.Series) -> pd.Series:
+        mapping = bc.value
+        target = (
+            serde.decode(target_blob) if target_blob is not None else None
+        )
+        out = pd.Series([None] * len(k), index=k.index, dtype=object)
+        live = ~pd.isna(x)
+        if live.any():
+            kl = k[live]
+            xl = pd.to_numeric(x[live]).astype(float)
+            for key, idx in kl.groupby(kl, sort=False).groups.items():
+                blob = mapping.get(key)
+                if blob is None or (mode == "normalize" and target is None):
+                    continue
+                d = serde.decode(blob)
+                xs = xl.loc[idx].to_numpy()
+                if mode == "cdf":
+                    vals = np.atleast_1d(d.cdf(xs))
+                elif mode == "quantile":
+                    vals = np.atleast_1d(d.quantile(xs))
+                else:  # normalize
+                    vals = np.atleast_1d(target.quantile(d.cdf(xs)))
+                out.loc[idx] = [float(v) for v in vals]
+        return out
+
+    return _f
+
+
 def _require_single_row(d: DataFrame, what: str) -> None:
     """Loud guard for the ungrouped (crossJoin) annotator paths: a
     user-supplied digest table with G rows would silently G-x-multiply
@@ -372,20 +453,25 @@ def tdigest_rank(
     pattern: rank TODAY'S rows against LAST WEEK'S distribution without
     rescanning last week — and when ranking a frame against itself
     twice (estimates + rank), build the digests once and pass them in.
-    Default (None) builds digests from ``df`` itself.
+    Default (None) builds digests from ``df`` itself (NOTE: collected
+    eagerly — this operator materializes the O(groups) digest table at
+    call time to build the broadcast map).
 
-    Plan: one digest per group (the salted-tree pipeline), broadcast
-    back (O(groups) rows of O(compression) bytes), one map-side join,
-    and a grouped-decode CDF kernel (td_cdf_col: one decode per
-    distinct digest per Arrow batch, vectorized evaluation) — two scans,
-    no sort, no row shuffle.  Same join convention as tdigest_bucket:
-    NULL values and NULL group keys get NULL rank.
+    Plan: one digest per group (the salted-tree pipeline), collected
+    (O(groups) rows of O(compression) bytes — the same driver footprint
+    a broadcast join implies) and shipped to executors ONCE as a Spark
+    broadcast; the fact scan then carries only a small group-key string
+    into the grouped-decode CDF kernel (one decode per distinct digest
+    per batch, vectorized evaluation) — one scan of the fact table, no
+    join, no row shuffle, and no O(compression)-byte blob per fact row
+    through the python boundary (the r5 plan shipped digest x rows
+    bytes through Arrow, which dominated the annotator's cost).  Same
+    NULL convention as before: NULL values and groups absent from the
+    digest table get NULL rank.
     """
-    for c in (rank_col, "_rank_digest"):
+    for c in (rank_col, "_rank_key"):
         if c in df.columns:
             raise ValueError(f"input column {c!r} collides with output")
-    from ..functions.tdigest_fns import td_cdf_col
-
     by = list(by)
     if digests is None:
         digests = tdigest_agg(
@@ -395,20 +481,22 @@ def tdigest_rank(
         missing = {*by, "digest"} - set(digests.columns)
         if missing:
             raise ValueError(f"digests is missing columns {sorted(missing)}")
-        if not by:
-            _require_single_row(digests, "digests")
-    right = digests.select(*by, F.col("digest").alias("_rank_digest"))
-    if by:
-        joined = df.join(F.broadcast(right), by, "left")
-    else:
-        joined = df.crossJoin(F.broadcast(right))
-    return joined.withColumn(
+    mapping, n_rows = _collect_digest_map(digests, by)
+    if not by and n_rows != 1:
+        raise ValueError(
+            "digests must have exactly one row for the ungrouped path; "
+            f"got {n_rows} rows — pass by= group columns to rank "
+            "against a per-group table"
+        )
+    bc = df.sparkSession.sparkContext.broadcast(mapping)
+    rank_udf = _make_lookup_udf(bc, "cdf")
+    return df.withColumn(
         rank_col,
         F.when(
             F.col(value_col).isNotNull(),
-            td_cdf_col("_rank_digest", F.col(value_col)),
+            rank_udf(_group_key_col(by), F.col(value_col)),
         ),
-    ).drop("_rank_digest")
+    )
 
 
 def tdigest_winsorize(
@@ -498,10 +586,14 @@ def tdigest_normalize(
     Monotone within each group, so group-internal ranking order is
     preserved (ties at t-digest resolution).  NULL -> NULL.
 
-    Plan: per-group digests (salted tree), pooled/target digest, both
-    broadcast; one map-side join; the two grouped-decode kernels
-    (td_cdf_col then td_quantile_col) — one scan of the fact table, no
-    row shuffle, exchanges carry only O(groups x compression) bytes.
+    Plan: per-group digests (salted tree) and the pooled/target digest
+    are collected (O(groups x compression) bytes, the same driver
+    footprint a broadcast join implies) and shipped ONCE as a Spark
+    broadcast; one fused grouped-decode kernel computes
+    Q_target(CDF_group(x)) in a single python pass — one scan of the
+    fact table, no join, no row shuffle, and no per-row digest blob
+    through the python boundary.  Digest tables are materialized
+    eagerly at call time to build the broadcast map.
     """
     if not by:
         raise ValueError(
@@ -509,11 +601,9 @@ def tdigest_normalize(
             "single distribution onto itself is the identity)"
         )
     out_col = out_col or f"{value_col}_normalized"
-    for c in (out_col, "_n_digest", "_n_target"):
+    for c in (out_col, "_n_key"):
         if c in df.columns:
             raise ValueError(f"input column {c!r} collides with output")
-    from ..functions.tdigest_fns import td_cdf_col, td_quantile_col
-
     by = list(by)
     if digests is None:
         digests = tdigest_agg(
@@ -539,24 +629,22 @@ def tdigest_normalize(
         )
     elif "digest" not in target_digest.columns:
         raise ValueError("target_digest needs a 'digest' column")
-    else:
-        _require_single_row(target_digest, "target_digest")
-    left = df.join(
-        F.broadcast(digests.select(*by, F.col("digest").alias("_n_digest"))),
-        by,
-        "left",
-    ).crossJoin(
-        F.broadcast(target_digest.select(F.col("digest").alias("_n_target")))
-    )
-    return left.withColumn(
+    target_map, n_target = _collect_digest_map(target_digest, [])
+    if n_target != 1:
+        raise ValueError(
+            "target_digest must have exactly one row; "
+            f"got {'0 rows' if n_target == 0 else '2 or more rows'}"
+        )
+    mapping, _ = _collect_digest_map(digests, by)
+    bc = df.sparkSession.sparkContext.broadcast(mapping)
+    norm_udf = _make_lookup_udf(bc, "normalize", target_blob=target_map.get("{}"))
+    return df.withColumn(
         out_col,
         F.when(
             F.col(value_col).isNotNull(),
-            td_quantile_col(
-                "_n_target", td_cdf_col("_n_digest", F.col(value_col))
-            ),
+            norm_udf(_group_key_col(by), F.col(value_col)),
         ),
-    ).drop("_n_digest", "_n_target")
+    )
 
 
 def _coarse_merge_bound(

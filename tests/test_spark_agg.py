@@ -913,15 +913,20 @@ def test_tdigest_rank_global_and_nulls(spark):
 
 
 def test_tdigest_rank_plan_broadcasts_digests(spark, lineitem):
-    """The rank join must broadcast the O(groups) digest side — a
-    shuffle of the fact table on group keys would be the scale
-    bottleneck — and the CDF kernel must be Arrow-vectorized (no
+    """The digests travel as a Spark broadcast variable captured by the
+    CDF kernel (r6): the fact-table plan must contain NO join and NO
+    exchange at all — shuffling the fact table on group keys, or
+    shipping an O(compression)-byte digest blob per fact row through
+    the Arrow boundary (the pre-r6 broadcast-join plan), are both scale
+    bottlenecks — and the kernel must be Arrow-vectorized (no
     row-at-a-time BatchEvalPython)."""
     from go_tdigest_spark.operators import tdigest_rank
 
     ranked = tdigest_rank(lineitem, "l_extendedprice", by=["l_returnflag"])
     plan = ranked._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
 
 
@@ -1072,14 +1077,21 @@ def test_winsorize_normalize_plan_broadcasts(spark, lineitem):
     from go_tdigest_spark.operators import tdigest_normalize, tdigest_winsorize
 
     li = lineitem.select("l_returnflag", "l_extendedprice")
-    for op in (
-        tdigest_winsorize(li, "l_extendedprice", by=["l_returnflag"]),
-        tdigest_normalize(li, "l_extendedprice", by=["l_returnflag"]),
-    ):
-        plan = op._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan
-        assert "BatchEvalPython" not in plan
-        assert "SortMergeJoin" not in plan
+    # winsorize still joins the O(groups) scalar-bounds table — it must
+    # broadcast, never sort-merge (a fact-table shuffle on group keys)
+    wz = tdigest_winsorize(li, "l_extendedprice", by=["l_returnflag"])
+    plan = wz._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    # normalize (r6) ships the digests as a Spark broadcast captured by
+    # the fused kernel: no join, no exchange, no per-row digest blob
+    nm = tdigest_normalize(li, "l_extendedprice", by=["l_returnflag"])
+    plan = nm._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_tree_merge_negative_zero_group_key(spark):
@@ -1134,3 +1146,44 @@ def test_annotator_single_row_guards(spark):
         ).count()
         == 3
     )
+
+
+def test_exact_percentiles_matches_spark_percentile(spark, lineitem):
+    """The Arrow sorted-run kernel (operators/exactq.py) must be
+    VALUE-IDENTICAL to Spark's percentile() aggregate — grouped and
+    global, including exact hits (q=0/1) and interpolated mid-points —
+    and must ignore NULL values exactly as the aggregate does."""
+    from go_tdigest_spark.operators import exact_percentiles
+
+    qs = [0.0, 0.015, 0.25, 0.485, 0.5, 0.935, 0.99, 1.0]
+    qlit = ", ".join(f"{q!r}D" for q in qs)
+    li = lineitem.withColumn(
+        "v", F.when(F.col("l_orderkey") % 7 == 0, None).otherwise(
+            F.col("l_extendedprice")
+        )
+    )
+    got = {
+        r["l_returnflag"]: r["_pb"]
+        for r in exact_percentiles(li, "v", qs, by=["l_returnflag"]).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["_pb"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(v, array({qlit}))").alias("_pb"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+    # global (no groups) form
+    g = exact_percentiles(li, "v", qs).collect()
+    w = li.agg(F.expr(f"percentile(v, array({qlit}))").alias("_pb")).collect()
+    assert len(g) == 1 and g[0]["_pb"] == w[0]["_pb"]
+    # multi-partition input must merge runs identically
+    g4 = exact_percentiles(
+        li.repartition(4), "v", qs, by=["l_returnflag"]
+    ).collect()
+    assert {r["l_returnflag"]: r["_pb"] for r in g4} == want
+    # invalid q
+    with pytest.raises(ValueError):
+        exact_percentiles(li, "v", [1.5])
