@@ -729,10 +729,15 @@ def _q_td_bucket_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = b.groupBy("l_returnflag", "bucket").agg(
         F.count(F.lit(1)).alias("_n")
     )
+    # group totals derived from the bucket counts (r6): a non-null price
+    # gets a non-null bucket exactly when its group has any non-null
+    # value (then bounds exist), so summing the non-null-bucket counts
+    # equals the former count(*) over non-null prices — one lineitem
+    # scan instead of two
     totals = (
-        li.where(F.col("l_extendedprice").isNotNull())
+        counts.where(F.col("bucket").isNotNull())
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("group_n"))
+        .agg(F.sum("_n").alias("group_n"))
     )
     grid = totals.select(
         "l_returnflag",
@@ -1485,9 +1490,28 @@ def _q_sample_suite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every variant is a pure function of the seeded content hash of the
     doc id, so the oracle checks each EXACT kept set — per-variant
     composition, char totals, and id extremes all hash."""
+    import os
+
     from go_tdigest_spark.operators import sample_fraction
+    from go_tdigest_spark.sources import parquet_row_count
 
     docs = table(spark, sf_dir, "documents")
+    # scale-adaptive range-partition count for the three prefix-sum arms
+    # (guide: size partitions from the data, not the core count): one
+    # partition per ~256k rows, capped at the cluster parallelism.  Row
+    # count comes from parquet footers (no Spark action) — the same
+    # hint contract as tfidf/embedding_neardup.  At sf0.1 (5k docs)
+    # this is 1 partition instead of 32 mostly-empty range tasks per
+    # arm; at the driver's larger SFs and in production it grows
+    # linearly until the defaultParallelism cap takes over.
+    n_docs = parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
+    nparts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_docs // 262_144),
+        ),
+    )
     fr = (
         sample_fraction(docs, "doc_id", 0.3, seed=7)
         .groupBy("source")
@@ -1565,7 +1589,7 @@ def _q_sample_suite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly against the window-form SQL twin; the Spark side runs the
     # two-phase distributed prefix sum (no global window)
     sh = (
-        sample.deterministic_shuffle(docs, "doc_id", seed=23)
+        sample.deterministic_shuffle(docs, "doc_id", seed=23, num_partitions=nparts)
         .where(F.col("pos") < 100)
         .groupBy("source")
         .agg(
@@ -1584,7 +1608,10 @@ def _q_sample_suite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix of the seed-29 shuffle order whose n_chars total fits
     # 120k; the twin's running-sum window pins membership exactly
     bu = (
-        sample.sample_token_budget(docs, "doc_id", "n_chars", 120_000, seed=29)
+        sample.sample_token_budget(
+            docs, "doc_id", "n_chars", 120_000, seed=29,
+            num_partitions=nparts,
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1604,7 +1631,8 @@ def _q_sample_suite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = {"src0": 5000, "src1": 2500, "src2": 1000, "src3": 500}
     bg = (
         sample.sample_token_budget(
-            docs, "doc_id", "n_chars", caps, seed=31, by=["source"]
+            docs, "doc_id", "n_chars", caps, seed=31, by=["source"],
+            num_partitions=nparts,
         )
         .groupBy("source")
         .agg(

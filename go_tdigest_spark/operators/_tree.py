@@ -39,9 +39,14 @@ def tree_merge(
 ) -> DataFrame:
     """Merge partial rows to one row per group.
 
-    ``merge_fn(pdf) -> pdf`` must emit exactly one row with the columns of
-    ``schema`` (it may receive extra columns, e.g. the salt — select what
-    it needs).  ``fanin=None`` disables salting (single-level merge).
+    ``merge_fn(pdf) -> list`` must return ONE plain row (a list of
+    values in ``schema`` column order) for the group slice it receives
+    (it may receive extra columns, e.g. the salt — select what it
+    needs).  Returning a list instead of a 1-row DataFrame lets the
+    merge stage assemble a SINGLE DataFrame per task: at fine groupings
+    (hourly windows — 720 groups) the per-group DataFrame construction
+    + concat was most of the merge stage's wall time.  ``fanin=None``
+    disables salting (single-level merge).
 
     ``n_units``: upper bound on partials per group.  The default (None)
     assumes the stage-1 builder invariant — at most one partial per
@@ -145,6 +150,8 @@ def tree_merge(
             ]
         )
 
+        out_columns = [f.name for f in out_schema.fields]
+
         def run(batches):
             chunks = []
             for batch in batches:
@@ -165,12 +172,14 @@ def tree_merge(
                 if len(chunks) == 1
                 else pd.concat(chunks, ignore_index=True)
             )
-            outs = [
-                fn(grp.drop(columns=[gkey]))
+            # one plain row per group, ONE DataFrame per task (fn never
+            # reads gkey, so the group slice is passed as-is)
+            rows = [
+                fn(grp)
                 for _, grp in whole.groupby(gkey, dropna=False, sort=False)
             ]
-            if outs:
-                out_pdf = pd.concat(outs, ignore_index=True)
+            if rows:
+                out_pdf = pd.DataFrame(rows, columns=out_columns)
                 yield pa.RecordBatch.from_pandas(
                     out_pdf, schema=arrow_out, preserve_index=False
                 )
@@ -187,12 +196,9 @@ def tree_merge(
         salted_schema = StructType(
             [StructField("_salt", LongType(), False)] + list(schema.fields)
         )
-        salted_cols = [f.name for f in salted_schema.fields]
 
-        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = merge_fn(pdf[columns])
-            out.insert(0, "_salt", pdf["_salt"].iloc[0])
-            return out[salted_cols]
+        def merge_salted(pdf: pd.DataFrame) -> list:
+            return [pdf["_salt"].iloc[0]] + merge_fn(pdf[columns])
 
         first = True
         while n_parts > fanin:
@@ -226,7 +232,8 @@ def tree_merge(
         return grouped_merge(
             partials, by, schema, lambda pdf: merge_fn(pdf[columns])
         )
-    # global aggregate: single group
+    # global aggregate: single group (applyInPandas needs a DataFrame)
     return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
-        lambda pdf: merge_fn(pdf[columns]), schema
+        lambda pdf: pd.DataFrame([merge_fn(pdf[columns])], columns=columns),
+        schema,
     )

@@ -216,17 +216,18 @@ def build_partials(
 
 
 def _merge_partials_fn(by: Sequence[str], columns: list[str]):
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    # returns ONE plain row (column-order list) per group slice — the
+    # tree assembles a single DataFrame per task (_tree.py contract)
+    def merge(pdf: pd.DataFrame) -> list:
         digests = [serde.decode(b) for b in pdf[DIGEST_COL]]
         merged = TDigest.merge_all(digests)
         merged.compress()
         head = [pdf[c].iloc[0] for c in by]
-        row = head + [
+        return head + [
             serde.encode(merged),
             int(pdf[ROWS_COL].sum()),
             int(pdf[WEIGHT_COL].sum()),
         ]
-        return pd.DataFrame([row], columns=columns)
 
     return merge
 

@@ -1221,8 +1221,12 @@ def simhash_candidate_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # hamming is a pure function of the pair, so filtering BEFORE
+        # the dedup exchange is equivalent — and ships only surviving
+        # pairs through the dropDuplicates shuffle (project/filter
+        # before the exchange)
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     # cache-release handle (see docstring); None when persist_bands=False
     out.persisted_bands = persisted

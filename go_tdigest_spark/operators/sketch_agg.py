@@ -212,16 +212,17 @@ def _merge_stage(
     )
     columns = [f.name for f in schema.fields]
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    # one plain row per group slice — _tree.py assembles one DataFrame
+    # per task (per-group DataFrame construction dominated fine groupings)
+    def merge(pdf: pd.DataFrame) -> list:
         sk = None
         for b in pdf["sketch"]:
             s = decode(bytes(b))
             sk = s if sk is None else sk.merge(s)
-        row = [pdf[c].iloc[0] for c in by] + [
+        return [pdf[c].iloc[0] for c in by] + [
             sk.to_bytes(),
             int(pdf["n_rows"].sum()),
         ]
-        return pd.DataFrame([row], columns=columns)
 
     return tree_merge(partials, by, schema, merge, fanin, n_units=n_units)
 

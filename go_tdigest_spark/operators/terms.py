@@ -161,7 +161,11 @@ def tfidf_topk_terms_sql(
 
 
 def ngram_commonness(
-    df: DataFrame, text_col: str, id_col: str, n: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Corpus-statistics document scoring — the integer-exact analog of
     LM/perplexity filtering (CCNet-style): score every document by how
@@ -200,8 +204,17 @@ def ngram_commonness(
     n-gram vocabulary is too big to broadcast — same posture as the
     tf |><| df join), one hash aggregate on the doc key.  No Python
     anywhere in the plan.
+
+    ``persist_grams``: the exploded (doc, h) table feeds BOTH the
+    corpus-frequency aggregate and the join probe side, and the two
+    exchanges carry different payloads so Spark's exchange reuse cannot
+    deduplicate them — without the persist the scan + tokenize +
+    explode lineage evaluates twice.  The cached rows are two int64s
+    per n-gram occurrence (~1 per word of corpus), registered in the
+    module release registry (``release_dedup_caches``); pass False to
+    trade the recompute for zero cache footprint on huge corpora.
     """
-    from .dedup import shingle_hash_frag, shingles_frag
+    from .dedup import _register_persisted, shingle_hash_frag, shingles_frag
 
     sh = shingles_frag(text_col, n, "spark", distinct=False)
     hashes = f"transform({sh}, s -> {shingle_hash_frag('s', 'spark')})"
@@ -211,6 +224,8 @@ def ngram_commonness(
     ex = base.select(
         F.col(id_col).alias("doc"), F.explode(F.expr(hashes)).alias("h")
     )
+    if persist_grams:
+        ex = _register_persisted(ex.persist())
     cf = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_cf"))
     scored = (
         ex.join(cf, "h")
