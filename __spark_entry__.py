@@ -906,8 +906,12 @@ def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     rep = dedup.repetition_stats(docs, "text", "doc_id", n=2)
     # one gram pass feeds both span consumers (spans= reuse contract);
-    # the raw span rows re-evaluate from the persisted gram table
-    sp_raw = dedup.duplicate_spans(docs, "text", "doc_id", n=5, min_count=2)
+    # r6: the raw span rows themselves are persisted too — each of the
+    # two consumers otherwise re-runs the interval-merge window over
+    # the persisted gram table (spans are O(duplicated regions), tiny)
+    sp_raw = _persist(
+        dedup.duplicate_spans(docs, "text", "doc_id", n=5, min_count=2)
+    )
     spans = dedup.duplicate_span_stats(
         docs, "text", "doc_id", n=5, min_count=2, spans=sp_raw
     )
@@ -958,16 +962,20 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joined.  The incremental pair set must be exactly the
     cross-parity subset the oracle computes from the same split."""
     docs = table(spark, sf_dir, "documents")
-    self_pairs = dedup.minhash_lsh_pairs(
-        docs, "text", "doc_id", n=2, n_hashes=16, bands=4, threshold=0.3
+    # r6: sign the corpus ONCE — a signature is a pure per-doc function,
+    # so the incremental arm's shard/index tables are id-parity FILTERS
+    # of the same signature table instead of two more kernel passes over
+    # the text (the self arm's lsh_pairs_from_sigs persists it, and the
+    # filtered reads hit that cache via plan matching)
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=2, n_hashes=16)
+    self_pairs = dedup.lsh_pairs_from_sigs(
+        sigs, n_hashes=16, bands=4, threshold=0.3
     ).select(
         F.lit("self").alias("variant"), "doc_a", "doc_b", "est_jaccard"
     )
-    shard = docs.where(F.col("doc_id") % 2 == 1)
-    corpus = docs.where(F.col("doc_id") % 2 == 0)
     inc = dedup.lsh_pairs_vs_index(
-        dedup.minhash_signatures(shard, "text", "doc_id", n=2, n_hashes=16),
-        dedup.minhash_signatures(corpus, "text", "doc_id", n=2, n_hashes=16),
+        sigs.where(F.col("doc") % 2 == 1),
+        sigs.where(F.col("doc") % 2 == 0),
         n_hashes=16,
         bands=4,
         threshold=0.3,
@@ -2623,14 +2631,131 @@ def _p_fd_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p_td_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # production drift read: the two cohort digests, merged count, and
+    # the KS estimate — no exact-KS percentile-grid companion
+    from go_tdigest_spark.functions import td_ks_distance, td_merge_pair
+
+    ev = table(spark, sf_dir, "events")
+    a = tdigest_agg(ev.where("event_type = 'click'"), "value").select(
+        F.col("digest").alias("da"), F.col("n_rows").alias("n_click")
+    )
+    b = tdigest_agg(ev.where("event_type = 'view'"), "value").select(
+        F.col("digest").alias("db"), F.col("n_rows").alias("n_view")
+    )
+    return a.crossJoin(b).select(
+        "n_click",
+        "n_view",
+        td_count(td_merge_pair("da", "db")).alias("n_merged"),
+        td_ks_distance("da", "db").alias("ks"),
+    )
+
+
+def _p_td_bucket_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # production read: per-(group, bucket) populations — no 0..9 grid
+    # join and no |n - n/10| bound booleans (gate arms)
+    from go_tdigest_spark.operators import tdigest_bucket
+
+    li = table(spark, sf_dir, "lineitem")
+    b = tdigest_bucket(li, "l_extendedprice", 10, by=["l_returnflag"])
+    return b.groupBy("l_returnflag", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _p_td_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # production read: per-label component digests + FD sketch reads —
+    # no exact Frobenius-mass companion arm
+    from go_tdigest_spark.operators.sketch_agg import (
+        fd_agg,
+        fd_fnorm2,
+        fd_rows,
+        fd_spectral_bound,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = tdigest_agg(emb, "embedding", by=["label"], explode_arrays=True)
+    fd = fd_agg(emb, "embedding", dim=64, by=["label"], ell=16)
+    fdr = fd.select(
+        "label",
+        fd_rows("sketch").alias("fd_rows"),
+        fd_fnorm2("sketch").alias("fd_fnorm2"),
+        fd_spectral_bound("sketch").alias("fd_bound"),
+    )
+    return d.join(fdr, "label").select(
+        "label",
+        td_count("digest").alias("n_components"),
+        td_quantile("digest", 0.0).alias("min_c"),
+        td_quantile("digest", 1.0).alias("max_c"),
+        "fd_rows",
+        "fd_fnorm2",
+        "fd_bound",
+    )
+
+
+# Queries whose gate form IS the production read (no verification-only
+# arm to strip): every column they emit is the product — exact analytics
+# (joins/windows/sessionization/set ops/ntile/rollup reads), the
+# sampling/packing/dedup pipelines whose kept-set/pair-set/cluster
+# output is the deliverable, and the sketch reads that are exact under
+# merge (kll/heavy-hitter count reads, centroid enumeration).  For these
+# prod_sec == gate_sec by definition (VERDICT r5 item 2's "tag arm-free
+# queries explicitly").
+PROD_EQ_GATE = (
+    "td_rollup_lineitem",
+    "td_cube_orders",
+    "td_weighted_lineitem",
+    "td_centroid_lineage",
+    "td_hourly_events",
+    "ntile_price_deciles",
+    "kll_stats_lineitem",
+    "agg_pricing_summary",
+    "join_customer_orders",
+    "window_top_orders",
+    "events_sessionization",
+    "events_minute_rollup",
+    "set_ops_nations",
+    "anti_join_customers",
+    "skew_join_user_totals",
+    "text_stats",
+    "tfidf_top_terms",
+    "pipeline_curation",
+    "pipeline_pretrain",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_invindex_jaccard",
+    "dedup_cluster_canonical",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "decontam_docs",
+    "repetition_docs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "heavy_hitter_users",
+    "sample_suite_docs",
+    "sample_topk_orders",
+    "pack_docs",
+    "asof_purchase_click",
+    "range_join_error_blast",
+    "multimodal_meta",
+)
+
+
 def prod_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Production-only twins of the gate-armed driver queries, keyed by
     the SAME names as ``queries()`` so bench.py can report prod_sec and
-    gate_sec side by side."""
+    gate_sec side by side.  Queries listed in ``PROD_EQ_GATE`` carry no
+    verification arm — their gate form is the production read and they
+    intentionally have no twin here (prod_sec == gate_sec)."""
     return {
         "td_quantiles_lineitem": _p_td_quantiles_lineitem,
         "td_cdf_events": _p_td_cdf_events,
         "td_mean_documents": _p_td_mean_documents,
+        "td_drift_events": _p_td_drift_events,
+        "td_bucket_lineitem": _p_td_bucket_lineitem,
+        "td_embedding_components": _p_td_embedding_components,
         "hll_distinct_users": _p_hll_distinct_users,
         "hll_overlap_users": _p_hll_overlap_users,
         "cms_supplier_freq": _p_cms_supplier_freq,

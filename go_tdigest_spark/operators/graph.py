@@ -144,13 +144,18 @@ def connected_components(
         return others.union(self_edge).distinct()
 
     edges = _snapshot(edges)
+    # the previous round's |E| is remembered instead of recounted: one
+    # action per round for the size check, not two (the count of
+    # `edges` was already taken when it was last round's `stepped`)
+    n_edges = edges.count()
     for _ in range(max_iters):
         stepped = _snapshot(_small_star(_large_star(edges)))
-        same_count = stepped.count() == edges.count()
+        n_stepped = stepped.count()
         unchanged = (
-            same_count
+            n_stepped == n_edges
             and stepped.exceptAll(edges).limit(1).count() == 0
         )
+        n_edges = n_stepped
         # NOTE: no explicit unpersist of the previous round's snapshot:
         # Dataset.unpersist() is a no-op on localCheckpoint-produced
         # frames (the RDD is persisted directly, not registered with
