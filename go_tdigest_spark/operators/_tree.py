@@ -67,6 +67,7 @@ def tree_merge(
     def grouped_merge(
         df: DataFrame, group_cols: list[str], out_schema: StructType,
         fn: Callable[[pd.DataFrame], pd.DataFrame],
+        n_upstream: int | None = None,
     ) -> DataFrame:
         """One-row-per-group merge via repartition + mapInPandas.
 
@@ -116,14 +117,15 @@ def tree_merge(
                         F.col(f.name) == 0.0, F.lit(0.0).cast(f.dataType)
                     ).otherwise(F.col(f.name)),
                 )
-        # No explicit partition count on the exchange: digest/sketch
-        # partials are O(groups x compression) bytes, so AQE coalesces
-        # the hash exchange to match the actual bytes (scale-adaptive —
-        # a fixed spark.sql.shuffle.partitions here scheduled one task
-        # per shuffle partition regardless of how few partial rows
-        # exist, and each task pays a python-worker round trip).
-        # Without AQE the exchange falls back to
-        # spark.sql.shuffle.partitions, exactly the previous behavior.
+        # Merge-exchange width is DERIVED from the upstream partition
+        # count instead of pinned to spark.sql.shuffle.partitions: the
+        # partial tables carry at most (upstream partitions x groups)
+        # rows of O(compression) bytes, so min(shuffle.partitions,
+        # upstream) reducers is always enough — at scale upstream >>
+        # shuffle.partitions and the width is unchanged, while a small
+        # input stops scheduling one python-worker task per configured
+        # shuffle partition for a handful of partial rows (guide §2.2:
+        # size the exchange from the data, not the core count).
         # gkey is computed AFTER the exchange so the JSON rendering is
         # not serialized through the shuffle alongside the raw keys.
         # Default to_json truncates timestamps to MILLISECONDS (.SSS) —
@@ -131,7 +133,18 @@ def tree_merge(
         # for sub-millisecond-distinct timestamp keys (Spark timestamps
         # are exactly microsecond-precision, so 6 fractional digits are
         # lossless).
-        dist = df.repartition(*[F.col(c) for c in group_cols]).withColumn(
+        try:
+            n_shuffle = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n_shuffle = df.sparkSession.sparkContext.defaultParallelism
+        if n_upstream is None:
+            n_upstream = df.rdd.getNumPartitions()
+        n_target = max(1, min(n_shuffle, n_upstream))
+        dist = df.repartition(
+            n_target, *[F.col(c) for c in group_cols]
+        ).withColumn(
             gkey,
             F.to_json(
                 F.struct(*[F.col(c) for c in group_cols]),
@@ -225,12 +238,16 @@ def tree_merge(
                 by + ["_salt"],
                 salted_schema,
                 merge_salted,
+                n_upstream=n_parts,
             )
             n_parts = n_salts
 
     if by:
         return grouped_merge(
-            partials, by, schema, lambda pdf: merge_fn(pdf[columns])
+            partials, by, schema, lambda pdf: merge_fn(pdf[columns]),
+            # after salt levels the upstream width is the last level's
+            # reducer count; fanin=None probes the plan directly
+            n_upstream=n_parts if fanin else None,
         )
     # global aggregate: single group (applyInPandas needs a DataFrame)
     return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(

@@ -654,13 +654,21 @@ def lsh_pairs_from_sigs(
     the same posture as ``ngram_jaccard_pairs``'s ``persist_index``.
     MEMORY_AND_DISK.  The handle is exposed on the returned DataFrame
     as ``result.persisted_sigs`` so long-lived sessions looping over
-    corpora can release it after their consuming action
-    (``result.persisted_sigs.unpersist()``).  The attribute does not
-    survive DataFrame transformations (it is a python attribute on the
-    object, not the plan) — after ``result.where(...)`` etc., use
-    :func:`release_dedup_caches`, which tracks every table this module
-    persisted.  Disable when composing into a job that manages its
+    corpora can release THAT table after their consuming action — note
+    ``persist_sigs=True`` also persists a SECOND table (the banded
+    (doc, band, keys) rows, the job's largest intermediate), which
+    ``result.persisted_sigs.unpersist()`` does NOT free: call
+    :func:`release_dedup_caches` to release every table this module
+    persisted (ADVICE r5 item 2).  The attribute also does not survive
+    DataFrame transformations (it is a python attribute on the object,
+    not the plan).  Disable when composing into a job that manages its
     own caching (the streaming readers do)."""
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide n_hashes (got n_hashes={n_hashes}, "
+            f"bands={bands}): a trailing remainder would silently drop "
+            "signature positions from banding (recall loss)"
+        )
     persisted = None
     if persist_sigs:
         sigs = _register_persisted(sigs.persist())
@@ -838,6 +846,12 @@ def lsh_pairs_vs_index(
     persist through the module registry — release with
     :func:`release_dedup_caches` between shards in a long-lived loop.
     """
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide n_hashes (got n_hashes={n_hashes}, "
+            f"bands={bands}): a trailing remainder would silently drop "
+            "signature positions from banding (recall loss)"
+        )
     rows = n_hashes // bands
 
     def _checked(sigs: DataFrame, side: str) -> DataFrame:

@@ -710,9 +710,12 @@ def deterministic_shuffle(
 
     ``persist``: the range-partitioned table is consumed twice (count
     pass + position pass); without it the range-sort runs twice AND
-    phase 2's layout could disagree with phase 1's boundaries.  Library
-    persist, released via ``release_dedup_caches`` (module registry) —
-    same posture as the dedup signature tables.
+    phase 2's layout could disagree with phase 1's boundaries — with a
+    NONDETERMINISTIC input plan (or re-sampled range boundaries) that
+    disagreement silently produces duplicate/skipped positions, so
+    ``persist=False`` REQUIRES a deterministic input (ADVICE r5
+    item 3).  Library persist, released via ``release_dedup_caches``
+    (module registry) — same posture as the dedup signature tables.
 
     SQL twin: :func:`deterministic_shuffle_sql`.
     """

@@ -244,15 +244,28 @@ def tdigest_stateful_stream(
 
     if names is None:
         names = [q_name(q) for q in quantiles]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate quantiles")
     else:
+        import re
+
         names = [str(n) for n in names]
         if len(names) != len(quantiles):
             raise ValueError(
                 f"names has {len(names)} entries for "
                 f"{len(quantiles)} quantiles"
             )
-    if len(set(names)) != len(names):
-        raise ValueError("duplicate quantiles")
+        # names are interpolated into a DDL schema string — validate as
+        # identifiers up front so a stray space/reserved character fails
+        # with THIS message, not an opaque parse error (ADVICE r5 item 5)
+        bad = [n for n in names if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n)]
+        if bad:
+            raise ValueError(
+                f"names must be plain identifiers ([A-Za-z_][A-Za-z0-9_]*); "
+                f"invalid: {bad}"
+            )
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate names: {sorted(names)}")
     q_cols = ", ".join(f"{n} double" for n in names)
     out_schema = f"key string, total long, {q_cols}"
     state_schema = "digest binary"
