@@ -192,9 +192,19 @@ def tree_merge(
                 for _, grp in whole.groupby(gkey, dropna=False, sort=False)
             ]
             if rows:
-                out_pdf = pd.DataFrame(rows, columns=out_columns)
+                # column-wise OBJECT-dtype assembly: pd.DataFrame(rows)
+                # would re-infer dtypes — int64 keys beyond 2^53 beside
+                # NULLs become lossy float64, timestamp/decimal keys
+                # fail the Arrow cast — while object columns convert
+                # through the explicit schema value-exactly
+                data = {
+                    name: pd.Series(col, dtype=object)
+                    for name, col in zip(out_columns, zip(*rows))
+                }
                 yield pa.RecordBatch.from_pandas(
-                    out_pdf, schema=arrow_out, preserve_index=False
+                    pd.DataFrame(data),
+                    schema=arrow_out,
+                    preserve_index=False,
                 )
 
         return dist.mapInArrow(run, out_schema)
