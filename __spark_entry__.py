@@ -904,6 +904,16 @@ def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_tdigest_spark.operators.dedup import words_frag
 
     docs = table(spark, sf_dir, "documents")
+    # the three text kernels below (repetition stats, positional gram
+    # hashes, the span cut + re-tokenize) are all heavy per-row string
+    # work; a small local fixture scans as ONE split, pinning them to
+    # one core — spread ONLY when the scan is narrower than the
+    # cluster (same bounded pattern as _q_simhash; at real scale the
+    # source has many splits and this is a no-op).  Every consumer
+    # shares the one exchange (ReusedExchange).
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     rep = dedup.repetition_stats(docs, "text", "doc_id", n=2)
     # one gram pass feeds both span consumers (spans= reuse contract);
     # r6: the raw span rows themselves are persisted too — each of the

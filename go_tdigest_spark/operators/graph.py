@@ -83,10 +83,58 @@ def connected_components(
     silently splits clusters, which for dedup means keeping duplicates,
     so it is loud instead.
     """
-    def _snapshot(df: DataFrame) -> DataFrame:
+    def _snapshot(df: DataFrame, eager: bool = True) -> DataFrame:
         if reliable:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
+    def _is_stars(e: DataFrame) -> bool:
+        """EXACT convergence test in ONE job: is ``e`` a set of disjoint
+        stars?  (no node appears as both a child ``u`` and a root ``v``,
+        and no child has two edges).
+
+        Why this terminates the iteration correctly (r6 — replaces the
+        former count + exceptAll fixpoint test, which cost two extra
+        jobs per round AND one full extra round just to observe the
+        edge set stopped changing):
+
+        - orientation invariant: every edge here satisfies u > v (the
+          initial orientation is greatest->least, and _small_star emits
+          only (v, _m) with v > _m and (u, _m) with u > _m);
+        - disjoint stars with u > v are min-rooted (the root is smaller
+          than every child, and the star IS the component), so the edge
+          set already equals the final labeling;
+        - disjoint stars are a fixpoint of one large-star + small-star
+          round (large-star: every child's only neighbor is its smaller
+          root, so no v > u edge survives except root->children, which
+          re-hook onto the root; small-star maps a star to itself), so
+          stopping here returns exactly what the former stepped==edges
+          test would have returned one round later.
+
+        The check runs as the round's ONLY action, which also
+        materializes the round's lazy snapshot — 1 job/round instead
+        of 3 (eager checkpoint + count + exceptAll).
+        """
+        marks = e.select(
+            F.col("u").alias("n"),
+            F.lit(1).alias("c"),
+            F.lit(0).alias("r"),
+        ).union(
+            e.select(
+                F.col("v").alias("n"),
+                F.lit(0).alias("c"),
+                F.lit(1).alias("r"),
+            )
+        )
+        viol = (
+            marks.groupBy("n")
+            .agg(F.sum("c").alias("cu"), F.sum("r").alias("cv"))
+            .where(
+                (F.col("cu") > 1)
+                | ((F.col("cu") > 0) & (F.col("cv") > 0))
+            )
+        )
+        return viol.limit(1).count() == 0
 
     edges_fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # ONE materialization of the upstream pair pipeline (typically an
@@ -143,33 +191,25 @@ def connected_components(
         self_edge = mins.select("u", F.col("_m").alias("v"))
         return others.union(self_edge).distinct()
 
-    edges = _snapshot(edges)
-    # the previous round's |E| is remembered instead of recounted: one
-    # action per round for the size check, not two (the count of
-    # `edges` was already taken when it was last round's `stepped`)
-    n_edges = edges.count()
-    for _ in range(max_iters):
-        stepped = _snapshot(_small_star(_large_star(edges)))
-        n_stepped = stepped.count()
-        unchanged = (
-            n_stepped == n_edges
-            and stepped.exceptAll(edges).limit(1).count() == 0
-        )
-        n_edges = n_stepped
-        # NOTE: no explicit unpersist of the previous round's snapshot:
-        # Dataset.unpersist() is a no-op on localCheckpoint-produced
-        # frames (the RDD is persisted directly, not registered with
-        # the CacheManager).  Snapshot RDDs are freed by the
-        # ContextCleaner once the round's references drop; each holds
-        # only the (shrinking) edge set, so peak residency is a few
-        # rounds of O(|E|).
-        edges = stepped
-        if unchanged:
-            # fixpoint: disjoint stars (u -> component min).  Labels =
-            # star edges plus self-labels for roots and for singleton
-            # nodes (self-loop-only pairs).  Snapshot the result so
-            # every downstream action reads O(|V|) materialized rows
-            # instead of re-running the round lineage + node inventory.
+    # lazy snapshots: the _is_stars check is each round's single action
+    # and materializes the checkpoint as a side effect.  NOTE: no
+    # explicit unpersist of a previous round's snapshot:
+    # Dataset.unpersist() is a no-op on localCheckpoint-produced frames
+    # (the RDD is persisted directly, not registered with the
+    # CacheManager).  Snapshot RDDs are freed by the ContextCleaner
+    # once the round's references drop; each holds only the (shrinking)
+    # edge set, so peak residency is a few rounds of O(|E|).
+    edges = _snapshot(edges, eager=False)
+    # max_iters + 1 checks bound max_iters STEP rounds, same budget as
+    # before; the pre-loop check also skips the loop entirely when the
+    # input pairs already form stars (common for dedup pair lists)
+    for _ in range(max_iters + 1):
+        if _is_stars(edges):
+            # disjoint stars (u -> component min).  Labels = star edges
+            # plus self-labels for roots and for singleton nodes
+            # (self-loop-only pairs).  Snapshot the result so every
+            # downstream action reads O(|V|) materialized rows instead
+            # of re-running the round lineage + node inventory.
             labels = edges.select(
                 F.col("u").alias("node"), F.col("v").alias("comp")
             )
@@ -177,6 +217,7 @@ def connected_components(
                 "node", F.col("node").alias("comp")
             )
             return _snapshot(labels.union(roots))
+        edges = _snapshot(_small_star(_large_star(edges)), eager=False)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} "
         "large-star/small-star rounds; raise max_iters"

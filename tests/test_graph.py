@@ -61,6 +61,29 @@ def test_null_edges_dropped_and_empty_input(spark):
     assert connected_components(empty).count() == 0
 
 
+def test_star_input_converges_without_a_step_round(spark):
+    """r6 structural convergence check: an input pair list that already
+    forms disjoint min-rooted stars (after orientation) is recognized
+    as converged BEFORE any large/small-star round — max_iters=0 must
+    succeed.  Pins the one-job _is_stars test replacing the former
+    count + exceptAll fixpoint comparison (which always paid one full
+    extra round to observe the edge set stopped changing)."""
+    edges = [("b", "a"), ("c", "a"), ("y", "x"), ("s", "s")]
+    got = _cc(spark, edges, max_iters=0)
+    assert got == {
+        ("a", "a"),
+        ("b", "a"),
+        ("c", "a"),
+        ("x", "x"),
+        ("y", "x"),
+        ("s", "s"),
+    }
+    # a non-star input (shared child: c in two pairs, one of which has
+    # a non-min root) must NOT pass the structural check at budget 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [("c", "a"), ("c", "b")], max_iters=0)
+
+
 def test_nonconvergence_is_loud(spark):
     # large/small-star needs a few rounds on a long chain; a budget of 1
     # cannot finish a 64-node path, and the failure must be loud, never
