@@ -31,16 +31,18 @@ partially-converged (wrong) labeling.
 Scale design notes (100 TB shape):
 - the pair list is symmetrized/persisted once (no rescan of the
   upstream pair pipeline);
-- per-round lineage is truncated with an eager ``localCheckpoint`` —
-  without it the iterative join stacks plans geometrically and Catalyst
+- per-round lineage is truncated with a lazy ``localCheckpoint``
+  materialized by the round's single convergence-check job — without
+  truncation the iterative join stacks plans geometrically and Catalyst
   analysis itself becomes the bottleneck within a few rounds (on a real
   cluster pass ``reliable=True`` +
   ``spark.sparkContext.setCheckpointDir`` to survive executor loss;
   localCheckpoint trades that durability for speed, the right default
   in local mode);
-- the convergence check (edge set reached a fixpoint) scans the
-  checkpointed round output — cheap cached-partition scans, not a
-  recompute;
+- convergence is detected STRUCTURALLY (the edge set is a disjoint
+  star set — see ``_is_stars``): one aggregation job per round, no
+  edge-set comparison against the previous round and no terminal
+  no-op round just to observe the fixpoint;
 - edges shuffle on the node id every round — hash-partitioned both
   sides; large-star specifically hooks HIGH-degree nodes' neighbors
   onto minima first, which is what breaks up degree skew instead of
